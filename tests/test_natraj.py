@@ -1,0 +1,72 @@
+"""Published-benchmark regression: Natraj & Hovenier (2009) polarized
+Rayleigh tables, tau = 0.5, black Lambertian surface.
+
+Mirrors the reference's gate (/root/reference/test/test_CoreRT.jl:110-156):
+Float64 max rel-err must be < 5e-4 on I, < 2.5e-3 on Q (|Q| >= 0.01),
+< 5e-4 on U (|U| >= 0.01). Truth tables committed at tests/data (published
+values from the paper, identical to the reference's natraj_trues.jl).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vsmartmom_tpu import model_from_parameters, rt_run
+from vsmartmom_tpu.core.model import Parameters, SurfaceDescriptor
+from vsmartmom_tpu.scattering.stokes import STOKES_IQUV
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "natraj2009_tau05.npz")
+
+MU = [0.02, 0.06, 0.10, 0.16, 0.20, 0.28, 0.32, 0.40, 0.52, 0.64,
+      0.72, 0.84, 0.92, 0.96, 0.98, 1.00]
+PHIS = np.arange(0.0, 181.0, 30.0)
+
+
+def _run_phi(phi):
+    nu0 = 1e7 / 360.0
+    params = Parameters(
+        spec_bands=[np.array([nu0, nu0 + 1.0])],
+        surfaces=[SurfaceDescriptor("LambertianSurfaceScalar", [0.0])],
+        nstreams=11,
+        polarization=STOKES_IQUV,
+        sza=np.rad2deg(np.arccos(0.2)),
+        vza=list(np.rad2deg(np.arccos(MU))),
+        vaz=[phi] * len(MU),
+        obs_alt=1000.0,
+        T=np.array([231.62]),
+        p=np.array([0.14, 0.22]),
+        depol=0.0,
+    )
+    model = model_from_parameters(params)
+    model.bands[0].tau_rayl[:] = 0.5
+    R, _ = rt_run(model)
+    return np.pi * R[:, :, 0]       # reflectance = pi * (I/F0)
+
+
+@pytest.fixture(scope="module")
+def modeled():
+    return np.stack([_run_phi(phi) for phi in PHIS])   # (7, 16, 4)
+
+
+def test_natraj_I(modeled):
+    truth = np.load(DATA)["I"]                          # (16, 7)
+    rel = np.abs(modeled[:, :, 0].T - truth) / truth
+    assert rel.max() < 5e-4, f"I max rel err {rel.max():.2e}"
+
+
+def test_natraj_Q(modeled):
+    truth = np.load(DATA)["Q"]
+    Q = modeled[:, :, 1].T
+    mask = Q >= 0.01
+    rel = np.abs(Q - truth) / np.abs(truth)
+    assert rel[mask].max() < 2.5e-3, f"Q max rel err {rel[mask].max():.2e}"
+
+
+def test_natraj_U(modeled):
+    truth = np.load(DATA)["U"]
+    U = modeled[:, :, 2].T
+    mask = U >= 0.01
+    rel = np.abs(U - truth) / np.abs(truth)
+    rel = rel[mask & np.isfinite(rel)]
+    assert rel.max() < 5e-4, f"U max rel err {rel.max():.2e}"

@@ -1,0 +1,258 @@
+"""Model build: user parameters -> RTModel (device inputs + static config).
+
+TPU-native equivalent of the reference's
+model_from_parameters (/root/reference/src/CoreRT/tools/model_from_parameters.jl:211-524):
+all setup physics (quadrature, profiles, depolarization, Greek coefficients,
+Z supermatrices) runs on host in float64 NumPy. ``RTModel`` keeps the raw
+per-band optics (tau_rayl, tau_abs, aerosol properties) mutable — mirroring
+the reference workflow where tests override ``model.τ_rayl`` after the build
+(test_CoreRT.jl:133) — and assembles the jit-ready
+(SolverInputs, SolverConfig) pair on demand.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+import numpy as np
+
+from ..inelastic.molecular import air_depolarization
+from ..scattering.greek import GreekCoefs, greek_rayleigh
+from ..scattering.stokes import Polarization
+from ..scattering.zmatrix import compute_Z_moments
+from ..surfaces.lambertian import (lambertian_legendre_scale,
+                                   lambertian_spectral_scale,
+                                   lambertian_surface_arrays)
+from ..utils.quadrature import QuadPoints, nearest_index, rt_set_streams
+from .atmosphere import (AtmosphericProfile, compute_atmos_profile_fields,
+                         compute_ndoubl, rayleigh_layer_tau, reduce_profile)
+from .types import SolverConfig, SolverInputs
+
+
+@dataclass
+class Parameters:
+    """User configuration (reference vSmartMOM_Parameters, types.jl:770-860)."""
+
+    spec_bands: list                    # list of wavenumber grids [cm^-1]
+    surfaces: list                      # per-band surface descriptors
+    nstreams: int
+    polarization: Polarization
+    sza: float
+    vza: list
+    vaz: list
+    obs_alt: float
+    T: np.ndarray                       # (Nz,) layer temperatures
+    p: np.ndarray                       # (Nz+1,) half-level pressures [hPa]
+    q: Optional[np.ndarray] = None
+    profile_reduction: int = -1
+    depol: float = -1.0                 # < 0 -> auto from N2/O2 constants
+    float_type: Any = np.float64
+    truncation: str = "NoTruncation"
+    absorption_params: Optional[dict] = None
+    scattering_params: Optional[dict] = None
+    dtau_max_threshold: float = 1e-3
+    dtau_min_floor: Optional[float] = None
+
+    @property
+    def stream_l_cap(self) -> int:
+        return 2 * self.nstreams - 1
+
+
+@dataclass
+class SurfaceDescriptor:
+    kind: str
+    args: list
+
+
+@dataclass
+class ScatteringComponent:
+    """One scattering constituent of a layer mix (Rayleigh or one aerosol).
+
+    ``tau_profile`` is (nSpec, Nz) for Rayleigh (wavelength-dependent) or
+    (Nz,) for an aerosol at its band value; ``ssa`` is the single-scattering
+    albedo after any delta-M scaling (createAero,
+    compEffectiveLayerProperties.jl:67-72)."""
+    greek: GreekCoefs
+    tau_profile: np.ndarray
+    ssa: float
+
+
+@dataclass
+class BandData:
+    """Mutable per-band optics + cached angular data for one spectral band."""
+    nu_grid: np.ndarray                 # (nSpec,)
+    tau_rayl: np.ndarray                # (nSpec, Nz), mutable for overrides
+    tau_abs: np.ndarray                 # (nSpec, Nz)
+    greek_rayleigh: GreekCoefs
+    aerosols: list = field(default_factory=list)   # ScatteringComponent
+    depol_rayleigh: float = 0.0
+    depol_cabannes: float = 0.0
+    pi_cabannes: float = 1.0
+    surface: SurfaceDescriptor = None
+
+    @property
+    def n_spec(self) -> int:
+        return len(self.nu_grid)
+
+
+def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
+                    n_stokes: int, n_m: int, n_spec: int):
+    """Build (surf_r, surf_j_m, surf_spec, surface_m_support)."""
+    kind = surface.kind
+    if kind in ("LambertianSurfaceScalar", "LambertianSurfaceSpectrum",
+                "LambertianSurfaceLegendre"):
+        r, j = lambertian_surface_arrays(quad, n_stokes, n_m)
+        if kind == "LambertianSurfaceLegendre":
+            spec = lambertian_legendre_scale(np.asarray(surface.args), n_spec)
+        else:
+            albedo = surface.args[0] if kind == "LambertianSurfaceScalar" \
+                else np.asarray(surface.args[0])
+            spec = lambertian_spectral_scale(albedo, n_spec)
+        return r, j, spec, 0
+    raise NotImplementedError(f"Surface type {kind} not yet implemented")
+
+
+class RTModel:
+    """Built model: geometry + profile + per-band optics.
+
+    ``band_solver_args()`` assembles per-band (SolverInputs, SolverConfig)
+    from the current (possibly user-mutated) optics.
+    """
+
+    def __init__(self, params: Parameters, quad: QuadPoints,
+                 profile: AtmosphericProfile, bands: list):
+        self.params = params
+        self.quad = quad
+        self.profile = profile
+        self.bands = bands
+        self.vza_idx = tuple(nearest_index(quad.qp_mu, np.cos(np.deg2rad(v)))
+                             for v in params.vza)
+
+    # -- convenience accessors used by tests mirroring the reference API --
+    @property
+    def tau_rayl(self):
+        return [b.tau_rayl for b in self.bands]
+
+    @property
+    def mu0(self):
+        return self.quad.mu0
+
+    def _band_m_max(self, band: BandData, surf_support: int) -> int:
+        """Per-band Fourier order from component support
+        (reference component_m_max.jl: Rayleigh -> 2, aerosol -> l_max - 1,
+        Lambertian -> 0; clamped by the stream contract)."""
+        supports = [band.greek_rayleigh.l_max - 1, surf_support]
+        supports += [a.greek.l_max - 1 for a in band.aerosols]
+        return min(max(supports), self.params.stream_l_cap)
+
+    def band_solver_args(self):
+        return [self.build_band(i) for i in range(len(self.bands))]
+
+    def build_band(self, i_band: int):
+        params, quad = self.params, self.quad
+        pol = params.polarization
+        ns = pol.n
+        band = self.bands[i_band]
+        n_spec = band.n_spec
+        nz = self.profile.nz
+        ft = np.dtype(params.float_type).type
+
+        # Surface angular pattern and spectral scaling (support = max m).
+        # Build with a provisional n_m then slice after m_max is known.
+        surf_r0, surf_j0, surf_spec, surf_support = _surface_arrays(
+            band.surface, quad, ns, 1, n_spec)
+        m_max = self._band_m_max(band, surf_support)
+        n_m = m_max + 1
+        N = quad.Nquad * ns
+        surf_r = np.zeros((n_m, N, N))
+        surf_j = np.zeros((n_m, N, ns))
+        surf_r[: surf_r0.shape[0]] = surf_r0
+        surf_j[: surf_j0.shape[0]] = surf_j0
+
+        # Phase supermatrices per Fourier moment per scattering component.
+        greeks = [band.greek_rayleigh] + [a.greek for a in band.aerosols]
+        n_comp = len(greeks)
+        Z_pp = np.zeros((n_m, n_comp, N, N))
+        Z_mp = np.zeros((n_m, n_comp, N, N))
+        for m in range(n_m):
+            for c, gk in enumerate(greeks):
+                Z_pp[m, c], Z_mp[m, c] = compute_Z_moments(pol, quad.qp_mu, gk, m)
+
+        # Layer mixing weights: scattering weight tau_c * ssa_c per component
+        # (elastic noRS: Rayleigh ssa = 1; compEffectiveLayerProperties.jl:40).
+        scat_w = np.zeros((nz, n_comp, n_spec))
+        scat_w[:, 0, :] = band.tau_rayl.T
+        tau = band.tau_rayl.T + band.tau_abs.T                 # (Nz, nSpec)
+        for c, aer in enumerate(band.aerosols, start=1):
+            prof = np.asarray(aer.tau_profile, dtype=np.float64)
+            tau_aer = prof[:, None] if prof.ndim == 1 else prof.T
+            scat_w[:, c, :] = tau_aer * aer.ssa
+            tau = tau + tau_aer
+
+        # Uniform doubling count: max of the reference's per-layer rule
+        # (rt_kernel.jl:266-287). More doublings only refine the elemental
+        # slab, so the uniform count preserves accuracy while keeping the
+        # layer scan shape-static for XLA.
+        weighted = quad.wt_mu > np.finfo(np.float64).eps
+        mu_min = quad.qp_mu[weighted].min()
+        ndoubl = max(
+            (compute_ndoubl(scat_w[z].sum(axis=0).max(), mu_min,
+                            params.dtau_max_threshold, params.dtau_min_floor,
+                            dtype=ft) for z in range(nz)), default=0)
+
+        # Azimuthal postprocessing weights (postprocessing_vza.jl:23-37).
+        vza_w = np.zeros((n_m, len(params.vza), ns))
+        for m in range(n_m):
+            w = 0.5 / np.pi if m == 0 else 1.0 / np.pi
+            for iv, phi in enumerate(params.vaz):
+                cosm = np.cos(np.deg2rad(m * phi))
+                sinm = np.sin(np.deg2rad(m * phi))
+                pattern = np.array([cosm, cosm, sinm, sinm][:ns])
+                vza_w[m, iv] = w * pattern
+
+        F0 = np.tile(pol.I0[:, None], (1, n_spec))
+
+        config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
+                              nz=nz, m_max=m_max, ndoubl=int(ndoubl),
+                              i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft)
+        inputs = SolverInputs(
+            qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
+            tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,
+            surf_r=surf_r, surf_j_m=surf_j, surf_spec=surf_spec, vza_w=vza_w)
+        return inputs, config
+
+
+def model_from_parameters(params: Parameters) -> RTModel:
+    pol = params.polarization
+    quad = rt_set_streams(params.nstreams, params.sza, params.vza, pol.n)
+
+    profile = compute_atmos_profile_fields(params.T, params.p, params.q)
+    if params.profile_reduction != -1:
+        profile = reduce_profile(params.profile_reduction, profile)
+    nz = profile.nz
+
+    bands = []
+    for nu in params.spec_bands:
+        nu = np.asarray(nu, dtype=np.float64)
+        lam_um = 1e4 / nu
+
+        # Depolarization sourcing rule (model_from_parameters.jl:249-297):
+        # auto (depol < 0) derives Rayleigh/Cabannes depol from N2/O2
+        # molecular constants at the band-mean wavenumber.
+        nu_mean = 0.5 * (nu[0] + nu[-1])
+        depol_ray_auto, depol_cab_auto, pi_cab = air_depolarization(nu_mean)
+        if params.depol < 0:
+            depol_ray, depol_cab = depol_ray_auto, depol_cab_auto
+        else:
+            depol_ray = depol_cab = float(params.depol)
+
+        tau_rayl = rayleigh_layer_tau(profile.p_half[-1], lam_um, depol_ray,
+                                      profile.vcd_dry)        # (nSpec, Nz)
+        tau_abs = np.zeros((len(nu), nz))
+
+        surface = params.surfaces[min(len(bands), len(params.surfaces) - 1)]
+        bands.append(BandData(nu_grid=nu, tau_rayl=tau_rayl, tau_abs=tau_abs,
+                              greek_rayleigh=greek_rayleigh(depol_ray),
+                              depol_rayleigh=depol_ray,
+                              depol_cabannes=depol_cab,
+                              pi_cabannes=pi_cab, surface=surface))
+    return RTModel(params=params, quad=quad, profile=profile, bands=bands)

@@ -1,0 +1,101 @@
+"""Solver configuration and device-input containers.
+
+The TPU-native redesign of the reference's RTModel/AddedLayer/CompositeLayer
+(/root/reference/src/CoreRT/types.jl): instead of mutable preallocated device
+buffers, the solver is a pure function of
+
+* ``SolverConfig`` — static, hashable compile-time facts (shapes, loop trip
+  counts, stream indices), and
+* ``SolverInputs`` — a pytree of arrays, batch-leading ``(nSpec, ...)``,
+  sharded over the spectral mesh axis in production.
+
+Operator layout: every RT operator is ``(nSpec, N, N)`` with
+``N = Nquad * n_stokes``; source vectors are ``(nSpec, N)``. The reference's
+``(N, N, nSpec)`` layout is transposed so the batch axis leads (XLA-friendly
+batched GEMM; MXU tiles the trailing two axes).
+"""
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Static solver facts; hashable so it can be a jit static argument."""
+
+    n_stokes: int        # Stokes components (1, 2, 3, 4)
+    nquad: int           # quadrature nodes (incl. zero-weight outputs)
+    n_spec: int          # spectral points
+    nz: int              # atmospheric layers (TOA -> BOA)
+    m_max: int           # Fourier loop runs m = 0 .. m_max (inclusive)
+    ndoubl: int          # uniform doubling count per layer
+    i_mu0: int           # solar stream node index (0-based)
+    vza_idx: tuple       # per-VZA nearest stream node index (0-based)
+    dtype: Any           # solver dtype (np.float32 / np.float64)
+
+    @property
+    def N(self) -> int:
+        return self.nquad * self.n_stokes
+
+    @property
+    def i_mu0_start(self) -> int:
+        return self.i_mu0 * self.n_stokes
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class SolverInputs:
+    """Device arrays consumed by the jitted solver (one band).
+
+    Shapes (N = nquad * n_stokes, C = number of scattering components,
+    M = m_max + 1 Fourier moments):
+
+      qp_mu_N     (N,)              stream cosines, Stokes-expanded
+      wt_mu_N     (N,)              stream weights, Stokes-expanded
+      tau         (Nz, nSpec)       total layer optical depth
+      scat_w      (Nz, C, nSpec)    per-component scattering weight tau_c*pi_c
+      Z_pp, Z_mp  (M, C, N, N)      per-moment per-component phase supermatrices
+      F0          (n_stokes, nSpec) solar irradiance Stokes vector
+      surf_r      (M, N, N)         surface reflection operator (x mu*w quad)
+      surf_j_m    (M, N)            surface upwelling source seed (x solar att.)
+      surf_spec   (nSpec,)          spectral scaling of the surface reflection
+      vza_w       (M, nVZA, n_stokes) postprocessing Fourier-azimuth weights
+    """
+
+    qp_mu_N: Any
+    wt_mu_N: Any
+    tau: Any
+    scat_w: Any
+    Z_pp: Any
+    Z_mp: Any
+    F0: Any
+    surf_r: Any
+    surf_j_m: Any
+    surf_spec: Any
+    vza_w: Any
+
+    _fields = ("qp_mu_N", "wt_mu_N", "tau", "scat_w", "Z_pp", "Z_mp", "F0",
+               "surf_r", "surf_j_m", "surf_spec", "vza_w")
+
+    def tree_flatten(self):
+        return tuple(getattr(self, f) for f in self._fields), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def mu0_value(inputs: SolverInputs, config: SolverConfig):
+    """Solar cosine as stored on the stream vector (exact node value)."""
+    return inputs.qp_mu_N[config.i_mu0_start]
+
+
+def stokes_d_vector(n_stokes: int, nquad: int, dtype=np.float64) -> np.ndarray:
+    """The D-matrix diagonal tiled over streams (types.jl D = [1,1,-1,-1])."""
+    d = np.ones(n_stokes)
+    if n_stokes >= 3:
+        d[2:] = -1.0
+    return np.tile(d, nquad).astype(dtype)

@@ -1,0 +1,126 @@
+"""YAML configuration parser, compatible with the reference scene files.
+
+Parses the exact YAML layout shipped by the reference
+(/root/reference/config/*.yaml; schema
+/root/reference/schemas/vsmartmom-parameters.schema.json;
+constructor maps /root/reference/src/IO/Parameters.jl:59-345) into the
+``Parameters`` dataclass. The reference configs double as parity fixtures,
+so the value syntax (Julia constructor strings like
+``LambertianSurfaceScalar(0.15)``, band strings like
+``"[12987.0]"`` / ``"ν_start:ν_step:ν_end"``) is accepted verbatim.
+"""
+
+import os
+import re
+
+import numpy as np
+import yaml
+
+from ..core.model import Parameters, SurfaceDescriptor
+from ..scattering.stokes import polarization_from_name
+
+_FLOAT_TYPES = {"Float64": np.float64, "Float32": np.float32}
+
+
+def _parse_band(spec) -> np.ndarray:
+    """Spectral band: '[a b c]' literal, 'start:step:stop' range, or list."""
+    if isinstance(spec, (list, tuple)):
+        return np.asarray(spec, dtype=np.float64)
+    s = str(spec).strip()
+    if s.startswith("["):
+        body = s.strip("[]").replace(",", " ")
+        return np.asarray([float(tok) for tok in body.split()], dtype=np.float64)
+    if ":" in s:
+        parts = [float(tok) for tok in s.split(":")]
+        if len(parts) == 2:
+            start, stop = parts
+            step = 1.0
+        else:
+            start, step, stop = parts
+        # inclusive endpoint, Julia range semantics
+        n = int(np.floor((stop - start) / step + 1e-9)) + 1
+        return start + step * np.arange(n)
+    return np.asarray([float(s)], dtype=np.float64)
+
+
+_CTOR_RE = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$")
+
+
+def _parse_ctor(s: str):
+    """'Name(a, b)' -> (name, [parsed args])."""
+    match = _CTOR_RE.match(str(s))
+    if not match:
+        return str(s).strip(), []
+    name, body = match.group(1), match.group(2).strip()
+    args = []
+    if body:
+        for tok in body.split(","):
+            tok = tok.strip()
+            try:
+                args.append(float(tok))
+            except ValueError:
+                args.append(tok)
+    return name, args
+
+
+def _parse_surface(spec) -> SurfaceDescriptor:
+    name, args = _parse_ctor(spec)
+    return SurfaceDescriptor(kind=name, args=args)
+
+
+def _expand_env(path: str) -> str:
+    """${ENV:VAR} expansion (IO/Parameters.jl:30-51)."""
+    return re.sub(r"\$\{ENV:(\w+)\}", lambda m: os.environ.get(m.group(1), ""), path)
+
+
+def parameters_from_dict(d: dict) -> Parameters:
+    rt = d["radiative_transfer"]
+    geom = d["geometry"]
+    prof = d["atmospheric_profile"]
+
+    spec_bands = [_parse_band(b) for b in rt["spec_bands"]]
+    surfaces = [_parse_surface(s) for s in rt["surface"]]
+
+    pol_name, _ = _parse_ctor(rt.get("polarization_type", "Stokes_I()"))
+    polarization = polarization_from_name(pol_name)
+
+    if "nstreams" in rt:
+        nstreams = int(rt["nstreams"])
+    elif "l_trunc" in rt:
+        # legacy schema: Ltrunc -> nstreams = (Ltrunc + 2) // 2
+        nstreams = (int(rt["l_trunc"]) + 2) // 2
+    else:
+        raise KeyError("radiative_transfer.nstreams (or legacy l_trunc) required")
+
+    trunc_name, _ = _parse_ctor(rt.get("truncation", "NoTruncation()"))
+
+    float_type = _FLOAT_TYPES[rt.get("float_type", "Float64")]
+
+    vza = list(np.atleast_1d(geom["vza"]).astype(np.float64))
+    vaz = list(np.atleast_1d(geom["vaz"]).astype(np.float64))
+
+    q = prof.get("q")
+    return Parameters(
+        spec_bands=spec_bands,
+        surfaces=surfaces,
+        nstreams=nstreams,
+        polarization=polarization,
+        sza=float(geom["sza"]),
+        vza=vza,
+        vaz=vaz,
+        obs_alt=float(geom.get("obs_alt", 0.0)),
+        T=np.asarray(prof["T"], dtype=np.float64),
+        p=np.asarray(prof["p"], dtype=np.float64),
+        q=None if q is None else np.asarray(q, dtype=np.float64),
+        profile_reduction=int(prof.get("profile_reduction", -1)),
+        depol=float(rt.get("depol", -1)),
+        float_type=float_type,
+        truncation=trunc_name,
+        absorption_params=d.get("absorption"),
+        scattering_params=d.get("scattering"),
+    )
+
+
+def parameters_from_yaml(path: str) -> Parameters:
+    with open(_expand_env(path)) as f:
+        return parameters_from_dict(yaml.safe_load(f))
