@@ -62,11 +62,29 @@ def identity_composite(n_spec: int, N: int, dtype) -> CompositeLayer:
     return CompositeLayer(zero_m, zero_m, eye, eye, zero_v, zero_v)
 
 
+def _exp(x):
+    """exp evaluated in f64 and cast back to x.dtype.
+
+    TPU's native f32 exp is only ~30 ulp accurate (measured 4e-6 relative);
+    that error is amplified ~2^ndoubl by the doubling ladder (transmission
+    errors double per doubling), costing ~1% on deep Rayleigh columns. The
+    f64 path (software-emulated on TPU, ~1e-7 relative) restores f32-level
+    end-to-end accuracy; the elementwise cost is negligible next to the
+    batched GEMMs.
+    """
+    return jnp.exp(x.astype(jnp.float64)).astype(x.dtype)
+
+
+def _expm1(x):
+    """expm1 evaluated in f64 (see _exp)."""
+    return jnp.expm1(x.astype(jnp.float64)).astype(x.dtype)
+
+
 def expdiff_neg(a, b):
     """Stable exp(-a) - exp(-b) for positive a, b (rt_helpers.jl:32-40)."""
     lo = jnp.minimum(a, b)
     diff = jnp.abs(a - b)
-    mag = jnp.exp(-lo) * (-jnp.expm1(-diff))
+    mag = _exp(-lo) * (-_expm1(-diff))
     return jnp.where(a == b, 0.0, jnp.where(a < b, mag, -mag))
 
 
@@ -118,7 +136,7 @@ def elemental(omega_Z_pp, omega_Z_mp, dtau, tau_sum, qp_mu_N, wt_mu_N,
 
     # r-+(i,j) = wZ-+(i,j) (mu_j/(mu_i+mu_j)) w_j (1 - e^{-dtau(1/mu_i+1/mu_j)})
     r_geom = (mu_j / (mu_i + mu_j)) * wct
-    r_mp = omega_Z_mp * r_geom[None] * (-jnp.expm1(-d * (1.0 / mu_i + 1.0 / mu_j)))
+    r_mp = omega_Z_mp * r_geom[None] * (-_expm1(-d * (1.0 / mu_i + 1.0 / mu_j)))
 
     # t++: off-diagonal (mu_i != mu_j) vs same-mu limits. The same-mu test is
     # tolerance-based: nearly-coincident nodes (e.g. a user VZA cosine within
@@ -131,17 +149,19 @@ def elemental(omega_Z_pp, omega_Z_mp, dtau, tau_sum, qp_mu_N, wt_mu_N,
 
     # same-mu limit (L'Hopital): exp(-dtau/mu_j) * wZ++ * (dtau/mu_i) * w_j,
     # plus the pure Beer-law term on the true diagonal.
-    t_same = jnp.exp(-d / mu_j) * omega_Z_pp * (d / mu_i) * wct[None]
+    t_same = _exp(-d / mu_j) * omega_Z_pp * (d / mu_i) * wct[None]
     eye = jnp.eye(omega_Z_pp.shape[-1], dtype=dtype)
-    beer = jnp.exp(-d / mu_i) * eye[None]
+    beer = _exp(-d / mu_i) * eye[None]
     t_pp = jnp.where(same_mu[None], t_same + beer, t_off)
 
     # Solar source vectors (get_elem_rt_SFI!, elemental.jl:348-392).
     ns = n_stokes
     sl = slice(i_mu0_start, i_mu0_start + ns)
     # wZ(i, solar block) @ F0 -> (s, N)
-    Zp_I0 = jnp.einsum("sik,ks->si", omega_Z_pp[:, :, sl], F0.astype(dtype))
-    Zm_I0 = jnp.einsum("sik,ks->si", omega_Z_mp[:, :, sl], F0.astype(dtype))
+    Zp_I0 = jnp.einsum("sik,ks->si", omega_Z_pp[:, :, sl], F0.astype(dtype),
+                       precision=MATMUL_PRECISION)
+    Zm_I0 = jnp.einsum("sik,ks->si", omega_Z_mp[:, :, sl], F0.astype(dtype),
+                       precision=MATMUL_PRECISION)
 
     dt = dtau[:, None]                            # (s, 1)
     mu_v = qp_mu_N[None, :]                       # (1, N)
@@ -151,16 +171,16 @@ def elemental(omega_Z_pp, omega_Z_mp, dtau, tau_sum, qp_mu_N, wt_mu_N,
                 (jnp.arange(qp_mu_N.shape[0]) < i_mu0_start + ns)) | \
         (jnp.abs(qp_mu_N - mu0) <= 1e-6 * mu0)
     # In-block (mu_i == mu0): J0+ = w02 wZ++I0 (dtau/mu0) e^{-dtau/mu0}
-    jp_in = fourier_w * Zp_I0 * (dt / mu_v) * jnp.exp(-dt / mu_v)
+    jp_in = fourier_w * Zp_I0 * (dt / mu_v) * _exp(-dt / mu_v)
     # Out-of-block: J0+ = w02 wZ++I0 (mu0/(mu_i - mu0)) expdiff(dtau/mu_i, dtau/mu0)
     denom_s = jnp.where(in_block[None, :], 1.0, mu_v - mu0)
     jp_out = fourier_w * Zp_I0 * (mu0 / denom_s) * expdiff_neg(dt / mu_v, dt / mu0)
     j0_p = jnp.where(in_block[None, :], jp_in, jp_out)
     # J0- = w02 wZ-+I0 (mu0/(mu_i + mu0)) (1 - e^{-dtau(1/mu_i + 1/mu0)})
     j0_m = fourier_w * Zm_I0 * (mu0 / (mu_v + mu0)) * \
-        (-jnp.expm1(-dt * (1.0 / mu_v + 1.0 / mu0)))
+        (-_expm1(-dt * (1.0 / mu_v + 1.0 / mu0)))
 
-    att = jnp.exp(-tau_sum / mu0)[:, None]        # beam attenuation above layer
+    att = _exp(-tau_sum / mu0)[:, None]           # beam attenuation above layer
     j0_p = j0_p * att
     j0_m = j0_m * att
     return r_mp, t_pp, j0_p, j0_m

@@ -61,6 +61,7 @@ class Parameters:
 class SurfaceDescriptor:
     kind: str
     args: list
+    kwargs: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -94,10 +95,30 @@ class BandData:
         return len(self.nu_grid)
 
 
+def _surface_m_support(surface: SurfaceDescriptor, stream_l_cap: int) -> int:
+    """Fourier support of the surface BRDF (component_m_max.jl:
+    Lambertian -> 0; CoxMunk/RPV/RossLi -> the stream cap)."""
+    if surface.kind.startswith("Lambertian"):
+        return 0
+    return stream_l_cap
+
+
 def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
                     n_stokes: int, n_m: int, n_spec: int):
-    """Build (surf_r, surf_j_m, surf_spec, surface_m_support)."""
+    """Build (surf_r, surf_j_m, surf_spec, surf_direct_m).
+
+    surf_r[m] is the reflection supermatrix (incl. the m=0 factor 2 and the
+    diag(mu*w) quadrature factor); surf_j_m[m] = mu0 * R_raw[:, solar block];
+    surf_spec scales both spectrally; surf_direct_m masks which moments carry
+    the direct-beam j0+ (Lambertian: m=0 only; numeric BRDFs: every m —
+    mirrors lambertian_surface.jl:87-94 vs rpv_surface.jl:77-86).
+    """
     kind = surface.kind
+    N = quad.Nquad * n_stokes
+    sl = slice(quad.i_mu0_start, quad.i_mu0_start + n_stokes)
+    direct_m = np.zeros(n_m)
+    direct_m[0] = 1.0
+
     if kind in ("LambertianSurfaceScalar", "LambertianSurfaceSpectrum",
                 "LambertianSurfaceLegendre"):
         r, j = lambertian_surface_arrays(quad, n_stokes, n_m)
@@ -107,7 +128,25 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
             albedo = surface.args[0] if kind == "LambertianSurfaceScalar" \
                 else np.asarray(surface.args[0])
             spec = lambertian_spectral_scale(albedo, n_spec)
-        return r, j, spec, 0
+        return r, j, spec, direct_m
+
+    if kind == "CoxMunkSurface":
+        from ..surfaces.coxmunk import (CoxMunkSurface, coxmunk_mueller_grid,
+                                        coxmunk_reflectance_fourier)
+        surf = surface.kwargs.get("_surface_obj") or CoxMunkSurface(
+            **{k: v for k, v in surface.kwargs.items() if not k.startswith("_")})
+        M_grid, phi, w = coxmunk_mueller_grid(surf, n_stokes, quad.qp_mu)
+        surf_r = np.zeros((n_m, N, N))
+        surf_j = np.zeros((n_m, N, n_stokes))
+        qw = quad.qp_mu_N * quad.wt_mu_N
+        for m in range(n_m):
+            R_raw = coxmunk_reflectance_fourier(M_grid, phi, w, n_stokes, m)
+            if m == 0:
+                R_raw = 2.0 * R_raw
+            surf_r[m] = R_raw * qw[None, :]
+            surf_j[m] = quad.mu0 * R_raw[:, sl]
+        return surf_r, surf_j, np.ones(n_spec), np.ones(n_m)
+
     raise NotImplementedError(f"Surface type {kind} not yet implemented")
 
 
@@ -136,13 +175,16 @@ class RTModel:
     def mu0(self):
         return self.quad.mu0
 
-    def _band_m_max(self, band: BandData, surf_support: int) -> int:
+    def _band_m_max(self, band: BandData) -> int:
         """Per-band Fourier order from component support
         (reference component_m_max.jl: Rayleigh -> 2, aerosol -> l_max - 1,
-        Lambertian -> 0; clamped by the stream contract)."""
-        supports = [band.greek_rayleigh.l_max - 1, surf_support]
+        Lambertian -> 0, numeric BRDFs -> stream cap; clamped by the
+        stream contract stream_l_cap = 2*Nstreams - 1)."""
+        cap = self.params.stream_l_cap
+        supports = [band.greek_rayleigh.l_max - 1,
+                    _surface_m_support(band.surface, cap)]
         supports += [a.greek.l_max - 1 for a in band.aerosols]
-        return min(max(supports), self.params.stream_l_cap)
+        return min(max(supports), cap)
 
     def band_solver_args(self):
         return [self.build_band(i) for i in range(len(self.bands))]
@@ -156,17 +198,11 @@ class RTModel:
         nz = self.profile.nz
         ft = np.dtype(params.float_type).type
 
-        # Surface angular pattern and spectral scaling (support = max m).
-        # Build with a provisional n_m then slice after m_max is known.
-        surf_r0, surf_j0, surf_spec, surf_support = _surface_arrays(
-            band.surface, quad, ns, 1, n_spec)
-        m_max = self._band_m_max(band, surf_support)
+        m_max = self._band_m_max(band)
         n_m = m_max + 1
         N = quad.Nquad * ns
-        surf_r = np.zeros((n_m, N, N))
-        surf_j = np.zeros((n_m, N, ns))
-        surf_r[: surf_r0.shape[0]] = surf_r0
-        surf_j[: surf_j0.shape[0]] = surf_j0
+        surf_r, surf_j, surf_spec, surf_direct_m = _surface_arrays(
+            band.surface, quad, ns, n_m, n_spec)
 
         # Phase supermatrices per Fourier moment per scattering component.
         greeks = [band.greek_rayleigh] + [a.greek for a in band.aerosols]
@@ -217,7 +253,8 @@ class RTModel:
         inputs = SolverInputs(
             qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
             tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,
-            surf_r=surf_r, surf_j_m=surf_j, surf_spec=surf_spec, vza_w=vza_w)
+            surf_r=surf_r, surf_j_m=surf_j, surf_spec=surf_spec,
+            surf_direct_m=surf_direct_m, vza_w=vza_w)
         return inputs, config
 
 

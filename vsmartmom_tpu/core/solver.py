@@ -33,7 +33,7 @@ def _mixed_omega_Z(scat_w_z, Z_comp, tau_z):
     expansion to the spectral batch (expandOpticalProperties) — the mixed
     supermatrix is never stored, only materialized inside the layer step.
     """
-    num = jnp.einsum("cs,cij->sij", scat_w_z, Z_comp)
+    num = jnp.einsum("cs,cij->sij", scat_w_z, Z_comp, precision="highest")
     safe_tau = jnp.where(tau_z > 0, tau_z, 1.0)
     return num / safe_tau[:, None, None]
 
@@ -50,37 +50,36 @@ def _layer_step(comp, layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
         wZ_pp, wZ_mp, dtau, tau_sum_z, qp_mu_N, wt_mu_N, mu0,
         config.i_mu0_start, config.n_stokes, F0, fourier_w)
 
-    expk = jnp.exp(-dtau / mu0)
+    from .kernels import _exp
+    expk = _exp(-dtau / mu0)
     add = doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
     return interaction(comp, add), None
 
 
-def _surface_layer(inputs: SolverInputs, config: SolverConfig, m: int,
-                   tau_sum_boa, dtype) -> AddedLayer:
+def _surface_layer(surf_r_m, surf_j_m, surf_direct_m, surf_spec, F0,
+                   tau_sum_boa, mu0, config: SolverConfig, dtype) -> AddedLayer:
     """Surface as an AddedLayer (reference Surfaces/*.jl create_surface_layer!).
 
-    ``surf_r[m]`` already includes the quadrature factor diag(mu_N * w_N);
-    ``surf_j_m[m]`` is mu0 * R_raw[:, solar block] (N, n_stokes). Both get the
+    ``surf_r_m`` already includes the quadrature factor diag(mu_N * w_N);
+    ``surf_j_m`` is mu0 * R_raw[:, solar block] (N, n_stokes). Both get the
     spectral scaling ``surf_spec`` and solar attenuation exp(-tau_sum/mu0).
+    ``surf_direct_m`` masks the direct-beam j0+ (Lambertian: m = 0 only;
+    numeric BRDFs: every moment — see model._surface_arrays).
     """
     n_spec, N = config.n_spec, config.N
-    mu0 = inputs.qp_mu_N[config.i_mu0_start].astype(dtype)
-    att = jnp.exp(-tau_sum_boa / mu0)                       # (s,)
-    spec = inputs.surf_spec.astype(dtype)
+    from .kernels import _exp
+    att = _exp(-tau_sum_boa / mu0)                          # (s,)
+    spec = surf_spec
 
-    r_mp = (inputs.surf_r[m].astype(dtype)[None] *
-            spec[:, None, None] * jnp.ones((n_spec, 1, 1), dtype))
+    r_mp = surf_r_m[None] * spec[:, None, None] * jnp.ones((n_spec, 1, 1), dtype)
     eye = jnp.broadcast_to(jnp.eye(N, dtype=dtype), (n_spec, N, N))
     zero_m = jnp.zeros((n_spec, N, N), dtype)
 
-    F0 = inputs.F0.astype(dtype)                            # (ns, s)
-    # Direct beam reaching BOA, placed on the solar stream block.
     j0_p = jnp.zeros((n_spec, N), dtype)
     j0_p = j0_p.at[:, config.i_mu0_start:config.i_mu0_start + config.n_stokes].set(
-        (F0 * att[None, :]).T)
-    # Surface-reflected upwelling source.
-    j0_m = jnp.einsum("ik,ks->si", inputs.surf_j_m[m].astype(dtype), F0) \
-        * (att * spec)[:, None]
+        (F0 * att[None, :]).T * surf_direct_m)
+    j0_m = jnp.einsum("ik,ks->si", surf_j_m, F0,
+                      precision="highest") * (att * spec)[:, None]
     return AddedLayer(r_mp, zero_m, eye, eye, j0_p, j0_m)
 
 
@@ -88,7 +87,13 @@ def _surface_layer(inputs: SolverInputs, config: SolverConfig, m: int,
 def rt_solve(inputs: SolverInputs, config: SolverConfig):
     """Full multi-moment solve. Returns dict with R, T (nVZA, n_stokes, nSpec)
     plus the BOA downwelling/TOA upwelling stream vectors of the m = 0 moment
-    (for flux diagnostics)."""
+    (for flux diagnostics).
+
+    The Fourier-azimuth loop is a ``lax.scan`` over the stacked per-moment
+    inputs (Z supermatrices, surface operators, azimuthal weights) — one
+    compiled moment body regardless of m_max, with the per-VZA weighted
+    accumulation carried on-device.
+    """
     dtype = jnp.dtype(config.dtype)
     n_spec, N, nz = config.n_spec, config.N, config.nz
     ns = config.n_stokes
@@ -101,6 +106,7 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     tau = inputs.tau.astype(dtype)            # (Nz, s)
     scat_w = inputs.scat_w.astype(dtype)      # (Nz, C, s)
     F0 = inputs.F0.astype(dtype)
+    surf_spec = inputs.surf_spec.astype(dtype)
 
     # Cumulative optical depth above each layer (extractEffectiveProps,
     # compEffectiveLayerProperties.jl:84-91) — one cumsum, on-device.
@@ -108,51 +114,73 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
         [jnp.zeros((1, n_spec), dtype), jnp.cumsum(tau, axis=0)], axis=0)
 
     nvza = len(config.vza_idx)
-    R = jnp.zeros((nvza, ns, n_spec), dtype)
-    T = jnp.zeros((nvza, ns, n_spec), dtype)
-    flux_diag = None
-
     vza_rows = np.asarray(
         [[v * ns + k for k in range(ns)] for v in config.vza_idx])  # (nvza, ns)
 
-    for m in range(config.m_max + 1):
-        fourier_w = 0.5 if m == 0 else 0.25
-        Z_pp_m = inputs.Z_pp[m].astype(dtype)
-        Z_mp_m = inputs.Z_mp[m].astype(dtype)
+    n_m = config.m_max + 1
+    fourier_w = jnp.asarray([0.5] + [0.25] * (n_m - 1), dtype)
+
+    def moment_body(carry, xs):
+        R, T, Jup0, Jdn0 = carry
+        (Z_pp_m, Z_mp_m, surf_r_m, surf_j_m, direct_m, vza_w_m, fw, is_m0) = xs
 
         step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
                        qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,
-                       config=config, F0=F0, fourier_w=fourier_w, d_vec=d_vec)
+                       config=config, F0=F0, fourier_w=fw, d_vec=d_vec)
 
         comp = identity_composite(n_spec, N, dtype)
         comp, _ = jax.lax.scan(step, comp, (tau, scat_w, tau_sum[:nz]))
 
-        surf = _surface_layer(inputs, config, m, tau_sum[nz], dtype)
+        surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
+                              tau_sum[nz], mu0, config, dtype)
         comp = interaction(comp, surf)
 
         # Azimuthal weighting (postprocessing_vza.jl:50-94), on-device:
         # R += w * J0-(rows), T += w * J0+(rows).
         Jm_rows = comp.J0_m[:, vza_rows]     # (s, nvza, ns)
         Jp_rows = comp.J0_p[:, vza_rows]
-        w = inputs.vza_w[m].astype(dtype)    # (nvza, ns)
-        R = R + jnp.transpose(Jm_rows, (1, 2, 0)) * w[:, :, None]
-        T = T + jnp.transpose(Jp_rows, (1, 2, 0)) * w[:, :, None]
+        R = R + jnp.transpose(Jm_rows, (1, 2, 0)) * vza_w_m[:, :, None]
+        T = T + jnp.transpose(Jp_rows, (1, 2, 0)) * vza_w_m[:, :, None]
 
-        if m == 0:
-            flux_diag = {"J0_up_toa": comp.J0_m, "J0_dn_boa": comp.J0_p}
+        Jup0 = jnp.where(is_m0, comp.J0_m, Jup0)
+        Jdn0 = jnp.where(is_m0, comp.J0_p, Jdn0)
+        return (R, T, Jup0, Jdn0), None
 
-    return {"R": R, "T": T, **flux_diag}
+    init = (jnp.zeros((nvza, ns, n_spec), dtype),
+            jnp.zeros((nvza, ns, n_spec), dtype),
+            jnp.zeros((n_spec, N), dtype),
+            jnp.zeros((n_spec, N), dtype))
+    xs = (inputs.Z_pp.astype(dtype), inputs.Z_mp.astype(dtype),
+          inputs.surf_r.astype(dtype), inputs.surf_j_m.astype(dtype),
+          inputs.surf_direct_m.astype(dtype), inputs.vza_w.astype(dtype),
+          fourier_w, jnp.arange(n_m) == 0)
+    (R, T, Jup0, Jdn0), _ = jax.lax.scan(moment_body, init, xs)
+
+    return {"R": R, "T": T, "J0_up_toa": Jup0, "J0_dn_boa": Jdn0}
 
 
 def rt_run(model):
     """User-facing forward run on an RTModel (reference rt_run.jl:53).
 
     Returns (R, T) with shape (nVZA, n_stokes, nSpec_total) concatenated over
-    bands, as radiance factors I/F0 (SFI outputs of the reference).
+    bands, as radiance factors I/F0 (SFI outputs of the reference). Cox-Munk
+    surfaces get the TMS single-scatter glint correction applied post-Fourier
+    (rt_run.jl:519-524).
     """
     Rs, Ts = [], []
-    for inputs, config in model.band_solver_args():
+    for i_band, band in enumerate(model.bands):
+        inputs, config = model.build_band(i_band)
         out = rt_solve(inputs, config)
-        Rs.append(np.asarray(out["R"]))
-        Ts.append(np.asarray(out["T"]))
+        R = np.asarray(out["R"])
+        T = np.asarray(out["T"])
+        if band.surface.kind == "CoxMunkSurface":
+            from ..surfaces.coxmunk import CoxMunkSurface, tms_correction
+            surf = CoxMunkSurface(**{k: v for k, v in band.surface.kwargs.items()
+                                     if not k.startswith("_")})
+            tau_total = np.asarray(inputs.tau).sum(axis=0)   # (nSpec,)
+            R = R + tms_correction(surf, config.n_stokes, model.params.vza,
+                                   model.params.vaz, model.quad.mu0,
+                                   tau_total, config.m_max)
+        Rs.append(R)
+        Ts.append(T)
     return np.concatenate(Rs, axis=-1), np.concatenate(Ts, axis=-1)

@@ -60,8 +60,9 @@ class SolverInputs:
       Z_pp, Z_mp  (M, C, N, N)      per-moment per-component phase supermatrices
       F0          (n_stokes, nSpec) solar irradiance Stokes vector
       surf_r      (M, N, N)         surface reflection operator (x mu*w quad)
-      surf_j_m    (M, N)            surface upwelling source seed (x solar att.)
+      surf_j_m    (M, N, n_stokes)  surface upwelling source seed (x solar att.)
       surf_spec   (nSpec,)          spectral scaling of the surface reflection
+      surf_direct_m (M,)            per-moment direct-beam mask for surface j0+
       vza_w       (M, nVZA, n_stokes) postprocessing Fourier-azimuth weights
     """
 
@@ -75,10 +76,11 @@ class SolverInputs:
     surf_r: Any
     surf_j_m: Any
     surf_spec: Any
+    surf_direct_m: Any
     vza_w: Any
 
     _fields = ("qp_mu_N", "wt_mu_N", "tau", "scat_w", "Z_pp", "Z_mp", "F0",
-               "surf_r", "surf_j_m", "surf_spec", "vza_w")
+               "surf_r", "surf_j_m", "surf_spec", "surf_direct_m", "vza_w")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._fields), None

@@ -47,25 +47,35 @@ _CTOR_RE = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$")
 
 
 def _parse_ctor(s: str):
-    """'Name(a, b)' -> (name, [parsed args])."""
+    """'Name(a, key=b)' -> (name, [positional args], {kwargs})."""
     match = _CTOR_RE.match(str(s))
     if not match:
-        return str(s).strip(), []
+        return str(s).strip(), [], {}
     name, body = match.group(1), match.group(2).strip()
-    args = []
+    args, kwargs = [], {}
+
+    def parse_val(tok):
+        tok = tok.strip()
+        if tok in ("true", "false"):
+            return tok == "true"
+        try:
+            return float(tok)
+        except ValueError:
+            return tok
+
     if body:
         for tok in body.split(","):
-            tok = tok.strip()
-            try:
-                args.append(float(tok))
-            except ValueError:
-                args.append(tok)
-    return name, args
+            if "=" in tok:
+                key, val = tok.split("=", 1)
+                kwargs[key.strip()] = parse_val(val)
+            else:
+                args.append(parse_val(tok))
+    return name, args, kwargs
 
 
 def _parse_surface(spec) -> SurfaceDescriptor:
-    name, args = _parse_ctor(spec)
-    return SurfaceDescriptor(kind=name, args=args)
+    name, args, kwargs = _parse_ctor(spec)
+    return SurfaceDescriptor(kind=name, args=args, kwargs=kwargs)
 
 
 def _expand_env(path: str) -> str:
@@ -81,7 +91,7 @@ def parameters_from_dict(d: dict) -> Parameters:
     spec_bands = [_parse_band(b) for b in rt["spec_bands"]]
     surfaces = [_parse_surface(s) for s in rt["surface"]]
 
-    pol_name, _ = _parse_ctor(rt.get("polarization_type", "Stokes_I()"))
+    pol_name, _, _ = _parse_ctor(rt.get("polarization_type", "Stokes_I()"))
     polarization = polarization_from_name(pol_name)
 
     if "nstreams" in rt:
@@ -92,7 +102,7 @@ def parameters_from_dict(d: dict) -> Parameters:
     else:
         raise KeyError("radiative_transfer.nstreams (or legacy l_trunc) required")
 
-    trunc_name, _ = _parse_ctor(rt.get("truncation", "NoTruncation()"))
+    trunc_name, _, _ = _parse_ctor(rt.get("truncation", "NoTruncation()"))
 
     float_type = _FLOAT_TYPES[rt.get("float_type", "Float64")]
 

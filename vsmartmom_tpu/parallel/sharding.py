@@ -47,6 +47,7 @@ def input_shardings(mesh: Mesh) -> SolverInputs:
         surf_r=NamedSharding(mesh, P()),
         surf_j_m=NamedSharding(mesh, P()),
         surf_spec=NamedSharding(mesh, P(s)),          # (nSpec,)
+        surf_direct_m=NamedSharding(mesh, P()),
         vza_w=NamedSharding(mesh, P()),
     )
 
