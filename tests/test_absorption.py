@@ -1,0 +1,201 @@
+"""Absorption module tests: Voigt CEF accuracy vs the exact Faddeeva
+function, HITRAN .par parsing, TIPS partition sums, line-summation kernel
+vs a direct NumPy evaluation, LUT interpolation, and the model-build wiring.
+
+(The reference validates cross-sections against stored HITRAN artifacts;
+this environment is zero-egress, so truth here is the exact wofz Faddeeva
+function and synthetic line lists — same physics, analytic ground truth.)
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+from scipy.special import wofz
+
+from vsmartmom_tpu.absorption.cross_section import (HitranModel,
+                                                    InterpolationModel,
+                                                    compute_absorption_cross_section,
+                                                    compute_absorption_profile,
+                                                    make_interpolation_model)
+from vsmartmom_tpu.absorption.hitran import (HitranTable, mol_number,
+                                             mol_weight, qoft, read_hitran)
+from vsmartmom_tpu.absorption.voigt import (cef_humlicek_weideman32,
+                                            humlicek_w4)
+
+SQRT_LN2 = np.sqrt(np.log(2.0))
+SQRT_LN2_PI = np.sqrt(np.log(2.0) / np.pi)
+
+
+class TestCEF:
+    def _grid(self):
+        x = np.linspace(-30, 30, 301)
+        y = np.logspace(-6, 2, 41)
+        X, Y = np.meshgrid(x, y)
+        return (X + 1j * Y).ravel()
+
+    def test_humlicek_weideman_vs_faddeeva(self):
+        import jax.numpy as jnp
+        z = self._grid()
+        mine = np.asarray(cef_humlicek_weideman32(jnp.asarray(z)))
+        exact = wofz(z)
+        rel = np.abs(mine.real - exact.real) / np.abs(exact.real)
+        assert rel.max() < 1e-4, rel.max()
+
+    def test_humlicek_w4_vs_faddeeva(self):
+        import jax.numpy as jnp
+        z = self._grid()
+        mine = np.asarray(humlicek_w4(jnp.asarray(z)))
+        exact = wofz(z)
+        rel = np.abs(mine.real - exact.real) / np.abs(exact.real)
+        assert rel.max() < 2e-4, rel.max()
+
+
+class TestHitranMeta:
+    def test_mol_ids(self):
+        assert mol_number("O2") == 7
+        assert mol_number("H2O") == 1
+        assert mol_number("CO2") == 2
+
+    def test_mol_weight(self):
+        assert np.isclose(mol_weight(7, 1), 31.99, atol=0.1)   # O2 main
+        assert np.isclose(mol_weight(1, 1), 18.01, atol=0.1)   # H2O main
+
+    def test_qoft_identity_and_monotone(self):
+        assert np.isclose(qoft(7, 1, 296.0), 1.0, rtol=1e-6)
+        # Q grows with T, so Q(296)/Q(T) < 1 for T > 296
+        assert qoft(7, 1, 320.0) < 1.0 < qoft(7, 1, 250.0)
+
+
+def _synthetic_par(path, lines):
+    """Write a fixed-width HITRAN .par file (160-char records)."""
+    with open(path, "w") as f:
+        for (mol, iso, nu, s, gair, gself, elow, nair, dair) in lines:
+            rec = (f"{mol:2d}{iso:1d}{nu:12.6f}{s:10.3E}{1e-9:10.3E}"
+                   f"{gair:5.4f}"[:30 + 5])
+            rec = (f"{mol:2d}{iso:1d}{nu:12.6f}{s:10.3E}{1e-9:10.3E}"
+                   f"{gair:5.3f}{gself:5.3f}{elow:10.4f}{nair:4.2f}"
+                   f"{dair:8.5f}")
+            rec = rec + " " * (160 - len(rec))
+            f.write(rec + "\n")
+
+
+@pytest.fixture(scope="module")
+def o2_par(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("hitran") / "o2_synth.par")
+    rng = np.random.default_rng(7)
+    lines = []
+    for k in range(40):
+        nu = 13040.0 + 2.0 * k + rng.uniform(-0.5, 0.5)
+        s = 10 ** rng.uniform(-26, -24)
+        lines.append((7, 1, nu, s, 0.045, 0.05, 100.0 + 10 * k, 0.7, -0.008))
+    _synthetic_par(path, lines)
+    return path
+
+
+class TestLineByLine:
+    def test_parse_roundtrip(self, o2_par):
+        t = read_hitran(o2_par)
+        assert len(t) == 40
+        assert np.all(t.mol == 7) and np.all(t.iso == 1)
+        assert np.all((t.nu > 13039) & (t.nu < 13121))
+        assert np.all(t.gamma_air == pytest.approx(0.045, abs=1e-3))
+
+    def test_kernel_vs_direct_numpy(self, o2_par):
+        """The chunked JAX line-sum must match a dense NumPy wofz evaluation."""
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13040.0, 13120.0, 0.02)
+        p, T = 500.0, 250.0
+        sigma = compute_absorption_cross_section(model, grid, p, T)
+
+        # direct: same preprocessing, exact Faddeeva
+        from vsmartmom_tpu.absorption.cross_section import _preprocess_lines
+        nu, gd, gl, y, S = _preprocess_lines(model, grid, p, T)
+        direct = np.zeros_like(grid)
+        for j in range(len(nu)):
+            x = SQRT_LN2 * (grid - nu[j]) / gd[j]
+            prof = S[j] * SQRT_LN2_PI / gd[j] * wofz(x + 1j * y[j]).real
+            prof[np.abs(grid - nu[j]) > 40.0] = 0.0
+            direct += prof
+        assert sigma.max() > 0
+        rel = np.abs(sigma - direct) / direct.max()
+        assert rel.max() < 1e-4
+
+    def test_pressure_broadening_widens(self, o2_par):
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13041.0, 13043.0, 0.002)
+        lo = compute_absorption_cross_section(model, grid, 100.0, 250.0)
+        hi = compute_absorption_cross_section(model, grid, 1000.0, 250.0)
+        # peak lower, wings higher at high pressure
+        assert hi.max() < lo.max()
+
+    def test_profile_and_model_build(self, o2_par):
+        from vsmartmom_tpu.core.atmosphere import compute_atmos_profile_fields
+        from vsmartmom_tpu.core.model import (AbsorptionParams, Parameters,
+                                              SurfaceDescriptor,
+                                              model_from_parameters)
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+        prof = compute_atmos_profile_fields(
+            np.array([230.0, 270.0]), np.array([10.0, 500.0, 1000.0]))
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13040.0, 13100.0, 0.05)
+        tau = compute_absorption_profile(model, grid, 0.21, prof)
+        assert tau.shape == (len(grid), 2)
+        assert tau.sum() > 0 and np.isfinite(tau).all()
+
+        params = Parameters(
+            spec_bands=[grid],
+            surfaces=[SurfaceDescriptor("LambertianSurfaceScalar", [0.1])],
+            nstreams=3, polarization=STOKES_I,
+            sza=30.0, vza=[0.0], vaz=[0.0], obs_alt=1000.0,
+            T=np.array([230.0, 270.0]), p=np.array([10.0, 500.0, 1000.0]),
+            depol=0.0,
+            absorption_params=AbsorptionParams(
+                molecules=[["O2"]], vmr={"O2": 0.21},
+                par_paths={"O2": o2_par}))
+        rt_model = model_from_parameters(params)
+        assert rt_model.bands[0].tau_abs.sum() > 0
+        from vsmartmom_tpu import rt_run
+        R, T_out = rt_run(rt_model)
+        I = R[0, 0]
+        assert np.isfinite(I).all() and I.min() > 0
+        # absorption lines must carve the spectrum
+        assert I.min() < 0.99 * I.max()
+
+    def test_missing_line_data_warns(self, o2_par):
+        from vsmartmom_tpu.core.model import (AbsorptionParams, Parameters,
+                                              SurfaceDescriptor,
+                                              model_from_parameters)
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+        params = Parameters(
+            spec_bands=[np.array([13040.0, 13041.0])],
+            surfaces=[SurfaceDescriptor("LambertianSurfaceScalar", [0.1])],
+            nstreams=3, polarization=STOKES_I,
+            sza=30.0, vza=[0.0], vaz=[0.0], obs_alt=1000.0,
+            T=np.array([230.0, 270.0]), p=np.array([10.0, 500.0, 1000.0]),
+            depol=0.0,
+            absorption_params=AbsorptionParams(
+                molecules=[["O2"]], vmr={"O2": 0.21}))
+        with pytest.warns(UserWarning, match="No HITRAN line data"):
+            model_from_parameters(params)
+
+
+class TestLUT:
+    def test_lut_matches_lbl(self, o2_par):
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13040.0, 13060.0, 0.05)
+        lut = make_interpolation_model(model, grid,
+                                       p_grid=np.linspace(50, 1050, 11),
+                                       t_grid=np.linspace(180, 310, 14))
+        direct = compute_absorption_cross_section(model, grid, 500.0, 250.0)
+        interp = lut.interpolate(grid, 500.0, 250.0)
+        scale = direct.max()
+        assert np.abs(interp - direct).max() / scale < 0.05
+        # outside the table -> zero
+        out = lut.interpolate(np.array([12000.0]), 500.0, 250.0)
+        assert out[0] == 0.0

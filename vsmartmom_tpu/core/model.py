@@ -82,6 +82,21 @@ class RTAerosol:
 
 
 @dataclass
+class AbsorptionParams:
+    """Reference AbsorptionParameters (types.jl:659-680). Line data sources
+    are explicit paths (this environment cannot fetch hitran.org artifacts):
+    ``par_paths[molecule] = /path/to/lines.par`` or ``luts[band][molecule]``
+    InterpolationModel objects."""
+    molecules: list                     # per-band molecule-name lists
+    vmr: dict                           # species -> scalar or (Nz,) profile
+    broadening: str = "Voigt"
+    cef: str = "HumlicekWeidemann32SDErrorFunction"
+    wing_cutoff: float = 40.0
+    par_paths: dict = field(default_factory=dict)
+    luts: list = field(default_factory=list)
+
+
+@dataclass
 class ScatteringParams:
     """Reference ScatteringParameters (types.jl:687-700)."""
     rt_aerosols: list
@@ -343,6 +358,55 @@ def _build_band_aerosols(params: Parameters, profile: AtmosphericProfile,
     return components
 
 
+def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
+                           nu: np.ndarray, i_band: int) -> np.ndarray:
+    """Gas absorption tau per (wavenumber, layer) for one band
+    (model_from_parameters.jl:305-366). Returns (nSpec, Nz)."""
+    ap = params.absorption_params
+    nz = profile.nz
+    tau_abs = np.zeros((len(nu), nz))
+    if ap is None or not ap.molecules:
+        return tau_abs
+    from ..absorption.cross_section import (HitranModel,
+                                            compute_absorption_profile)
+    from ..absorption.hitran import read_hitran
+
+    molecules = ap.molecules[i_band] if i_band < len(ap.molecules) else []
+    for mol_name in molecules:
+        if mol_name not in ap.vmr:
+            raise ValueError(f"molecule {mol_name} listed but no vmr given")
+        luts = ap.luts[i_band] if i_band < len(ap.luts) else {}
+        if mol_name in luts:
+            lut = luts[mol_name]
+            for iz in range(nz):
+                tau_abs[:, iz] += (lut.interpolate(nu, profile.p_full[iz],
+                                                   profile.T[iz])
+                                   * profile.vcd_dry[iz]
+                                   * np.atleast_1d(ap.vmr[mol_name])[
+                                       min(iz, np.size(ap.vmr[mol_name]) - 1)])
+            continue
+        if mol_name not in ap.par_paths:
+            # The reference downloads hitran.org artifacts here; this
+            # environment is zero-egress, so we warn loudly and skip rather
+            # than fail every shipped fixture. Supply
+            # absorption_params.par_paths[mol] or a LUT for real absorption.
+            import warnings
+            warnings.warn(
+                f"No HITRAN line data for {mol_name} "
+                f"(band {i_band}): tau_abs contribution skipped. Provide "
+                f"absorption_params.par_paths['{mol_name}'] or a LUT.",
+                stacklevel=2)
+            continue
+        table = read_hitran(ap.par_paths[mol_name],
+                            nu_min=nu.min() - ap.wing_cutoff,
+                            nu_max=nu.max() + ap.wing_cutoff)
+        model = HitranModel(hitran=table, broadening=ap.broadening,
+                            wing_cutoff=ap.wing_cutoff, cef=ap.cef, vmr=0.0)
+        tau_abs += compute_absorption_profile(model, nu, ap.vmr[mol_name],
+                                              profile)
+    return tau_abs
+
+
 def model_from_parameters(params: Parameters) -> RTModel:
     pol = params.polarization
     quad = rt_set_streams(params.nstreams, params.sza, params.vza, pol.n)
@@ -353,7 +417,7 @@ def model_from_parameters(params: Parameters) -> RTModel:
     nz = profile.nz
 
     bands = []
-    for nu in params.spec_bands:
+    for i_band, nu in enumerate(params.spec_bands):
         nu = np.asarray(nu, dtype=np.float64)
         lam_um = 1e4 / nu
 
@@ -369,7 +433,7 @@ def model_from_parameters(params: Parameters) -> RTModel:
 
         tau_rayl = rayleigh_layer_tau(profile.p_half[-1], lam_um, depol_ray,
                                       profile.vcd_dry)        # (nSpec, Nz)
-        tau_abs = np.zeros((len(nu), nz))
+        tau_abs = _build_band_absorption(params, profile, nu, i_band)
 
         surface = params.surfaces[min(len(bands), len(params.surfaces) - 1)]
         bands.append(BandData(nu_grid=nu, tau_rayl=tau_rayl, tau_abs=tau_abs,

@@ -16,8 +16,8 @@ import re
 import numpy as np
 import yaml
 
-from ..core.model import (Parameters, RTAerosol, ScatteringParams,
-                          SurfaceDescriptor)
+from ..core.model import (AbsorptionParams, Parameters, RTAerosol,
+                          ScatteringParams, SurfaceDescriptor)
 from ..scattering.stokes import polarization_from_name
 
 _FLOAT_TYPES = {"Float64": np.float64, "Float32": np.float32}
@@ -148,6 +148,23 @@ def _parse_scattering(sc: dict):
         decomp_type=_parse_ctor(sc.get("decomp_type", "NAI2()"))[0])
 
 
+def _parse_absorption(ab: dict):
+    """Parse the ``absorption:`` block (IO/Parameters.jl; molecules per band,
+    vmr dict, broadening/CEF/wing_cutoff). ``par_paths`` is our extension for
+    explicit local line files (no artifact downloads in this environment)."""
+    if not ab:
+        return None
+    return AbsorptionParams(
+        molecules=[list(m) for m in ab.get("molecules", [])],
+        vmr=dict(ab.get("vmr", {})),
+        broadening=_parse_ctor(ab.get("broadening", "Voigt()"))[0],
+        cef=_parse_ctor(ab.get("CEF",
+                               "HumlicekWeidemann32SDErrorFunction()"))[0],
+        wing_cutoff=float(ab.get("wing_cutoff", 40.0)),
+        par_paths={k: _expand_env(v)
+                   for k, v in (ab.get("par_paths") or {}).items()})
+
+
 def parameters_from_dict(d: dict) -> Parameters:
     rt = d["radiative_transfer"]
     geom = d["geometry"]
@@ -191,7 +208,7 @@ def parameters_from_dict(d: dict) -> Parameters:
         depol=float(rt.get("depol", -1)),
         float_type=float_type,
         truncation=trunc_name,
-        absorption_params=d.get("absorption"),
+        absorption_params=_parse_absorption(d.get("absorption")),
         scattering_params=_parse_scattering(d.get("scattering")),
     )
 
