@@ -1,0 +1,292 @@
+"""Linearized RT: Jacobians dR/dx, dT/dx w.r.t. aerosol, gas, and surface
+parameters.
+
+The reference hand-writes analytic tangent kernels through the whole solver
+(rt_run_lin.jl, elemental_lin.jl, doubling_lin.jl, interaction_lin.jl)
+because Julia AD could not differentiate its in-place GPU code. This solver
+is a pure jitted function, so the TPU-native design is exact forward-mode
+AD: ``jax.jvp`` through ``rt_solve`` (machine-precision tangents of the
+compiled adding-doubling chain — the same chain rule the reference's
+``ap_*`` all-parameter slabs implement by hand, at the same O(1) extra cost
+per parameter), chained with host-side tangents of the model build:
+
+* linear inputs (tau_ref, gas VMR scale, Lambertian albedo) — analytic;
+* the Gaussian vertical profile (p0, sigma_p) — analytic derivative;
+* Mie microphysics (n_r, n_i, r_mode, sigma_g) and Cox-Munk wind — central
+  finite differences of the host setup stage (the reference differentiates
+  its Mie with ForwardDiff duals; FD on the f64 host stage matches to
+  ~sqrt(eps) which is far below the rtol 1e-5 parity gate).
+
+Parameter layout mirrors the reference ParameterLayout
+(CoreRT/parameter_layout.jl:20-66): 7 per aerosol
+[tau_ref, n_r, n_i, r_mode, sigma_g, p0, sigma_p], one per gas (VMR scale),
+then surface parameters (albedo | wind speed).
+"""
+
+import copy
+from dataclasses import dataclass, replace as dc_replace
+
+import jax
+import numpy as np
+
+from .solver import rt_solve
+from .types import SolverInputs
+
+AEROSOL_PARAMS = ("tau_ref", "n_r", "n_i", "r_mode", "sigma_g", "p0", "sigma_p")
+
+
+@dataclass(frozen=True)
+class ParameterLayout:
+    """Jacobian index arithmetic (reference parameter_layout.jl:20-66)."""
+    n_aer: int
+    gas_names: tuple
+    surface_params: tuple      # e.g. ("albedo",) or ("wind_speed",)
+
+    @property
+    def n_total(self) -> int:
+        return 7 * self.n_aer + len(self.gas_names) + len(self.surface_params)
+
+    def aerosol_slice(self, i):
+        return slice(7 * i, 7 * (i + 1))
+
+    def gas_index(self, j):
+        return 7 * self.n_aer + j
+
+    def surface_index(self, j=0):
+        return 7 * self.n_aer + len(self.gas_names) + j
+
+    def names(self):
+        out = []
+        for i in range(self.n_aer):
+            out += [f"aer{i}_{p}" for p in AEROSOL_PARAMS]
+        out += [f"vmr_{g}" for g in self.gas_names]
+        out += list(self.surface_params)
+        return out
+
+
+def default_layout(model, i_band: int = 0) -> ParameterLayout:
+    band = model.bands[i_band]
+    gases = tuple(band.tau_abs_by_mol.keys())
+    kind = band.surface.kind
+    if kind == "CoxMunkSurface":
+        surf = ("wind_speed",)
+    elif kind == "LambertianSurfaceScalar":
+        surf = ("albedo",)
+    else:
+        surf = ()
+    return ParameterLayout(n_aer=len(band.aerosols), gas_names=gases,
+                           surface_params=surf)
+
+
+def _zero_like_inputs(inputs: SolverInputs) -> SolverInputs:
+    return jax.tree_util.tree_map(np.zeros_like, inputs)
+
+
+def _inputs_diff(a: SolverInputs, b: SolverInputs, scale: float) -> SolverInputs:
+    return jax.tree_util.tree_map(lambda x, y: (np.asarray(x) - np.asarray(y)) * scale, a, b)
+
+
+def _rebuild_inputs(model, i_band):
+    inputs, config = model.build_band(i_band)
+    return inputs, config
+
+
+def _component_tangent_inputs(model, i_band, comp_index, d_comp):
+    """SolverInputs tangent from a ScatteringComponent tangent (d_greek,
+    d_tau_profile, d_ssa) holding everything else fixed. Uses the linearity
+    of the Z-moment build in the Greek coefficients."""
+    from ..scattering.zmatrix import compute_Z_moments
+    band = model.bands[i_band]
+    inputs, config = model.build_band(i_band)
+    zero = _zero_like_inputs(inputs)
+
+    comp = band.aerosols[comp_index]
+    c = comp_index + 1                 # component axis: 0 = Rayleigh
+    nz, n_comp, n_spec = inputs.scat_w.shape
+
+    d_tau_prof = np.asarray(d_comp["tau_profile"])          # (Nz,)
+    d_ssa = float(d_comp.get("ssa", 0.0))
+    d_scat = np.zeros_like(np.asarray(inputs.scat_w))
+    d_scat[:, c, :] = (d_tau_prof[:, None] * comp.ssa
+                       + comp.tau_profile[:, None] * d_ssa)
+    d_tau = np.broadcast_to(d_tau_prof[:, None], (nz, n_spec)).copy()
+
+    d_inputs = dc_replace(zero, scat_w=d_scat, tau=d_tau)
+
+    d_greek = d_comp.get("greek")
+    if d_greek is not None:
+        n_m = inputs.Z_pp.shape[0]
+        dZ_pp = np.zeros_like(np.asarray(inputs.Z_pp))
+        dZ_mp = np.zeros_like(np.asarray(inputs.Z_mp))
+        pol = model.params.polarization
+        for m in range(n_m):
+            dZ_pp[m, c], dZ_mp[m, c] = compute_Z_moments(
+                pol, model.quad.qp_mu, d_greek, m)
+        d_inputs = dc_replace(d_inputs, Z_pp=dZ_pp, Z_mp=dZ_mp)
+    return d_inputs
+
+
+def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3):
+    """Tangent SolverInputs for the 7 aerosol parameters of aerosol i_aer."""
+    from ..scattering.greek import GreekCoefs
+    from .model import _build_one_aerosol
+
+    band = model.bands[i_band]
+    comp = band.aerosols[i_aer]
+    aer = comp.aer
+    params = model.params
+    nu = band.nu_grid
+    lam_band = 1e4 * (1.0 / nu.min() + 1.0 / nu.max()) / 2.0
+    use_bge = params.truncation in ("AutoTruncation", "auto", "deltaBGE",
+                                    "dBGE", "δBGE")
+    l_cap = params.stream_l_cap
+
+    def rebuild(aer_mod):
+        return _build_one_aerosol(params, model.profile, aer_mod, lam_band,
+                                  use_bge, l_cap)
+
+    tangents = {}
+
+    # tau_ref: everything linear in tau_ref
+    tangents["tau_ref"] = {
+        "tau_profile": comp.tau_profile / aer.tau_ref, "ssa": 0.0}
+
+    # p0, sigma_p: only the (normalized) vertical profile changes — central
+    # FD on the cheap profile builder (no Mie).
+    from .atmosphere import aerosol_layer_tau_gauss
+    scale = comp.tau_profile.sum() / max(
+        aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
+                                model.profile.p_half).sum(), 1e-300)
+    for name, attr in (("p0", "p0"), ("sigma_p", "sigma_p")):
+        x = getattr(aer, attr)
+        h = max(abs(x) * fd_rel, 1e-6)
+        hi = aerosol_layer_tau_gauss(1.0, aer.p0 + (h if attr == "p0" else 0),
+                                     aer.sigma_p + (h if attr == "sigma_p" else 0),
+                                     model.profile.p_half)
+        lo = aerosol_layer_tau_gauss(1.0, aer.p0 - (h if attr == "p0" else 0),
+                                     aer.sigma_p - (h if attr == "sigma_p" else 0),
+                                     model.profile.p_half)
+        tangents[name] = {"tau_profile": scale * (hi - lo) / (2 * h), "ssa": 0.0}
+
+    # Mie microphysics: central FD through the full aerosol build.
+    mie_params = {"n_r": "n_r", "n_i": "n_i", "r_mode": "mu_log",
+                  "sigma_g": "sigma_log"}
+    for pname, attr in mie_params.items():
+        if aer.phase_function_g is not None:
+            tangents[pname] = {"tau_profile": np.zeros_like(comp.tau_profile),
+                               "ssa": 0.0}
+            continue
+        x = getattr(aer, attr)
+        h = max(abs(x) * fd_rel, 1e-5)
+        hi = rebuild(dc_replace(aer, **{attr: x + h}))
+        lo = rebuild(dc_replace(aer, **{attr: x - h}))
+        inv2h = 1.0 / (2 * h)
+        d_greek = GreekCoefs(*[
+            (getattr(hi.greek, f) - getattr(lo.greek, f)) * inv2h
+            for f in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta")])
+        tangents[pname] = {
+            "tau_profile": (hi.tau_profile - lo.tau_profile) * inv2h,
+            "ssa": (hi.ssa - lo.ssa) * inv2h,
+            "greek": d_greek}
+    return tangents
+
+
+def build_tangent_inputs(model, i_band, layout: ParameterLayout,
+                         fd_rel=1e-3):
+    """List of SolverInputs tangents, one per layout parameter."""
+    band = model.bands[i_band]
+    inputs, config = model.build_band(i_band)
+    zero = _zero_like_inputs(inputs)
+    tangents = []
+
+    for i in range(layout.n_aer):
+        per_aer = _aerosol_tangents(model, i_band, i, fd_rel)
+        for pname in AEROSOL_PARAMS:
+            tangents.append(_component_tangent_inputs(
+                model, i_band, i, per_aer[pname]))
+
+    for gas in layout.gas_names:
+        # parameter = multiplicative scale on the VMR profile: d tau = tau_mol
+        d_tau = band.tau_abs_by_mol[gas].T          # (Nz, nSpec)
+        tangents.append(dc_replace(zero, tau=np.asarray(d_tau)))
+
+    for sp in layout.surface_params:
+        if sp == "albedo":
+            albedo = band.surface.args[0]
+            d_spec = np.asarray(inputs.surf_spec) / albedo if albedo != 0 \
+                else np.ones_like(np.asarray(inputs.surf_spec))
+            tangents.append(dc_replace(zero, surf_spec=d_spec))
+        elif sp == "wind_speed":
+            from ..surfaces.coxmunk import CoxMunkSurface
+            from .model import _surface_arrays
+            U = band.surface.kwargs["wind_speed"]
+            h = max(abs(U) * fd_rel, 1e-4)
+            n_m = inputs.surf_r.shape[0]
+            ns = config.n_stokes
+
+            def surf_at(u):
+                desc = copy.deepcopy(band.surface)
+                desc.kwargs["wind_speed"] = u
+                r, j, _, _ = _surface_arrays(desc, model.quad, ns, n_m,
+                                             config.n_spec)
+                return r, j
+            r_hi, j_hi = surf_at(U + h)
+            r_lo, j_lo = surf_at(U - h)
+            tangents.append(dc_replace(
+                zero, surf_r=(r_hi - r_lo) / (2 * h),
+                surf_j_m=(j_hi - j_lo) / (2 * h)))
+        else:
+            raise NotImplementedError(sp)
+    return inputs, config, tangents
+
+
+def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
+               fd_rel: float = 1e-3):
+    """Forward + Jacobian run (reference rt_run(model, lin_model, ...),
+    rt_run_lin.jl:102-326).
+
+    Returns (R, T, dR, dT) with dR/dT shaped (nVZA, nStokes, nSpec, Nparams).
+    The wind-speed Jacobian includes the TMS glint-correction derivative.
+    """
+    if layout is None:
+        layout = default_layout(model, i_band)
+    inputs, config, tangents = build_tangent_inputs(model, i_band, layout,
+                                                    fd_rel)
+
+    def fn(inp):
+        out = rt_solve(inp, config)
+        return out["R"], out["T"]
+
+    (R, T) = fn(inputs)
+    dRs, dTs = [], []
+    for d_inp in tangents:
+        d_inp_j = jax.tree_util.tree_map(
+            lambda t, x: np.asarray(t, dtype=np.asarray(x).dtype), d_inp, inputs)
+        _, (dR, dT) = jax.jvp(fn, (inputs,), (d_inp_j,))
+        dRs.append(np.asarray(dR))
+        dTs.append(np.asarray(dT))
+    R, T = np.asarray(R), np.asarray(T)
+    dR = np.stack(dRs, axis=-1)
+    dT = np.stack(dTs, axis=-1)
+
+    band = model.bands[i_band]
+    if band.surface.kind == "CoxMunkSurface" and "wind_speed" in layout.surface_params:
+        # add TMS correction + its wind derivative on the host path
+        from ..surfaces.coxmunk import CoxMunkSurface, tms_correction
+        U = band.surface.kwargs["wind_speed"]
+        tau_total = np.asarray(inputs.tau).sum(axis=0)
+
+        def tms(u):
+            surf = CoxMunkSurface(**{**{k: v for k, v in
+                                        band.surface.kwargs.items()
+                                        if not k.startswith("_")},
+                                     "wind_speed": u})
+            return tms_correction(surf, config.n_stokes, model.params.vza,
+                                  model.params.vaz, model.quad.mu0,
+                                  tau_total, config.m_max)
+        base = tms(U)
+        R = R + base
+        h = max(abs(U) * fd_rel, 1e-4)
+        d_tms = (tms(U + h) - tms(U - h)) / (2 * h)
+        dR[..., layout.surface_index()] += d_tms
+    return R, T, dR, dT

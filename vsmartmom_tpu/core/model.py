@@ -114,10 +114,16 @@ class ScatteringComponent:
     ``tau_profile`` is (nSpec, Nz) for Rayleigh (wavelength-dependent) or
     (Nz,) for an aerosol at its band value; ``ssa`` is the single-scattering
     albedo after any delta-M scaling (createAero,
-    compEffectiveLayerProperties.jl:67-72)."""
+    compEffectiveLayerProperties.jl:67-72). The raw-optics metadata fields
+    let the linearization rebuild/perturb the component without a full
+    model rebuild."""
     greek: GreekCoefs
     tau_profile: np.ndarray
     ssa: float
+    aer: Optional["RTAerosol"] = None   # source aerosol (None for Rayleigh)
+    k_over_kref: float = 1.0            # band-to-reference extinction ratio
+    f_trunc: float = 0.0                # delta-M truncation factor
+    ssa_raw: float = 1.0                # pre-truncation single-scatter albedo
 
 
 @dataclass
@@ -132,6 +138,8 @@ class BandData:
     depol_cabannes: float = 0.0
     pi_cabannes: float = 1.0
     surface: SurfaceDescriptor = None
+    # per-molecule absorption components (for gas-VMR Jacobians)
+    tau_abs_by_mol: dict = field(default_factory=dict)
 
     @property
     def n_spec(self) -> int:
@@ -321,52 +329,69 @@ def _build_band_aerosols(params: Parameters, profile: AtmosphericProfile,
                                     "dBGE", "δBGE")
     l_cap = params.stream_l_cap
 
-    components = []
-    for aer in scat.rt_aerosols:
-        profile_shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
-                                                profile.p_half)
-        if aer.phase_function_g is not None:
-            optics = analytic_aerosol_optics(aer.phase_function_g,
-                                             ssa=aer.ssa or 1.0,
-                                             l_max=min(l_cap + 1, 64))
-            tau_prof = aer.tau_ref * profile_shape
-        else:
-            mie_aero = Aerosol(SizeDistribution(aer.mu_log, aer.sigma_log),
-                               aer.n_r, aer.n_i)
-            n_ref = scat.n_ref if scat.n_ref is not None else \
-                complex(aer.n_r, -aer.n_i)
-            ref_aero = Aerosol(mie_aero.size_distribution,
-                               n_ref.real, -n_ref.imag)
-            k_ref = compute_ref_aerosol_extinction(
-                ref_aero, scat.lambda_ref, scat.r_max, scat.nquad_radius)
-            raw = compute_aerosol_optical_properties(
-                mie_aero, lam_band, scat.r_max, scat.nquad_radius)
-            if use_bge and raw.greek_coefs.l_max > l_cap:
-                optics = truncate_phase_delta_bge(raw, l_cap)
-            else:
-                optics = truncate_phase_none(raw)
-            tau_prof = aer.tau_ref * (raw.k / k_ref) * profile_shape
+    return [_build_one_aerosol(params, profile, aer, lam_band, use_bge, l_cap)
+            for aer in scat.rt_aerosols]
 
-        # delta-M scaling (createAero): tau* = (1 - f_t w) tau,
-        # w* = (1 - f_t) w / (1 - f_t w)
-        ft, w = optics.f_trunc, optics.ssa
-        tau_mod = (1.0 - ft * w) * tau_prof
-        ssa_mod = (1.0 - ft) * w / (1.0 - ft * w)
-        components.append(ScatteringComponent(greek=optics.greek_coefs,
-                                              tau_profile=tau_mod,
-                                              ssa=float(ssa_mod)))
-    return components
+
+def _build_one_aerosol(params: Parameters, profile: AtmosphericProfile,
+                       aer: "RTAerosol", lam_band: float, use_bge: bool,
+                       l_cap: int) -> ScatteringComponent:
+    from ..scattering.mie import (Aerosol, SizeDistribution,
+                                  analytic_aerosol_optics,
+                                  compute_aerosol_optical_properties,
+                                  compute_ref_aerosol_extinction,
+                                  truncate_phase_delta_bge, truncate_phase_none)
+    from .atmosphere import aerosol_layer_tau_gauss
+
+    scat = params.scattering_params
+    profile_shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
+                                            profile.p_half)
+    if aer.phase_function_g is not None:
+        optics = analytic_aerosol_optics(aer.phase_function_g,
+                                         ssa=aer.ssa or 1.0,
+                                         l_max=min(l_cap + 1, 64))
+        tau_prof = aer.tau_ref * profile_shape
+        k_scale = 1.0
+    else:
+        mie_aero = Aerosol(SizeDistribution(aer.mu_log, aer.sigma_log),
+                           aer.n_r, aer.n_i)
+        n_ref = scat.n_ref if scat.n_ref is not None else \
+            complex(aer.n_r, -aer.n_i)
+        ref_aero = Aerosol(mie_aero.size_distribution,
+                           n_ref.real, -n_ref.imag)
+        k_ref = compute_ref_aerosol_extinction(
+            ref_aero, scat.lambda_ref, scat.r_max, scat.nquad_radius)
+        raw = compute_aerosol_optical_properties(
+            mie_aero, lam_band, scat.r_max, scat.nquad_radius)
+        if use_bge and raw.greek_coefs.l_max > l_cap:
+            optics = truncate_phase_delta_bge(raw, l_cap)
+        else:
+            optics = truncate_phase_none(raw)
+        k_scale = raw.k / k_ref
+        tau_prof = aer.tau_ref * k_scale * profile_shape
+
+    # delta-M scaling (createAero): tau* = (1 - f_t w) tau,
+    # w* = (1 - f_t) w / (1 - f_t w)
+    ft, w = optics.f_trunc, optics.ssa
+    tau_mod = (1.0 - ft * w) * tau_prof
+    ssa_mod = (1.0 - ft) * w / (1.0 - ft * w)
+    return ScatteringComponent(greek=optics.greek_coefs,
+                               tau_profile=tau_mod, ssa=float(ssa_mod),
+                               aer=aer, k_over_kref=float(k_scale),
+                               f_trunc=float(ft), ssa_raw=float(w))
 
 
 def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
-                           nu: np.ndarray, i_band: int) -> np.ndarray:
+                           nu: np.ndarray, i_band: int):
     """Gas absorption tau per (wavenumber, layer) for one band
-    (model_from_parameters.jl:305-366). Returns (nSpec, Nz)."""
+    (model_from_parameters.jl:305-366). Returns (tau_abs (nSpec, Nz),
+    per-molecule components dict for VMR Jacobians)."""
     ap = params.absorption_params
     nz = profile.nz
     tau_abs = np.zeros((len(nu), nz))
+    by_mol = {}
     if ap is None or not ap.molecules:
-        return tau_abs
+        return tau_abs, by_mol
     from ..absorption.cross_section import (HitranModel,
                                             compute_absorption_profile)
     from ..absorption.hitran import read_hitran
@@ -378,12 +403,15 @@ def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
         luts = ap.luts[i_band] if i_band < len(ap.luts) else {}
         if mol_name in luts:
             lut = luts[mol_name]
+            tau_mol = np.zeros((len(nu), nz))
             for iz in range(nz):
-                tau_abs[:, iz] += (lut.interpolate(nu, profile.p_full[iz],
-                                                   profile.T[iz])
-                                   * profile.vcd_dry[iz]
-                                   * np.atleast_1d(ap.vmr[mol_name])[
-                                       min(iz, np.size(ap.vmr[mol_name]) - 1)])
+                tau_mol[:, iz] = (lut.interpolate(nu, profile.p_full[iz],
+                                                  profile.T[iz])
+                                  * profile.vcd_dry[iz]
+                                  * np.atleast_1d(ap.vmr[mol_name])[
+                                      min(iz, np.size(ap.vmr[mol_name]) - 1)])
+            by_mol[mol_name] = tau_mol
+            tau_abs += tau_mol
             continue
         if mol_name not in ap.par_paths:
             # The reference downloads hitran.org artifacts here; this
@@ -402,9 +430,11 @@ def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
                             nu_max=nu.max() + ap.wing_cutoff)
         model = HitranModel(hitran=table, broadening=ap.broadening,
                             wing_cutoff=ap.wing_cutoff, cef=ap.cef, vmr=0.0)
-        tau_abs += compute_absorption_profile(model, nu, ap.vmr[mol_name],
-                                              profile)
-    return tau_abs
+        tau_mol = compute_absorption_profile(model, nu, ap.vmr[mol_name],
+                                             profile)
+        by_mol[mol_name] = tau_mol
+        tau_abs += tau_mol
+    return tau_abs, by_mol
 
 
 def model_from_parameters(params: Parameters) -> RTModel:
@@ -433,7 +463,7 @@ def model_from_parameters(params: Parameters) -> RTModel:
 
         tau_rayl = rayleigh_layer_tau(profile.p_half[-1], lam_um, depol_ray,
                                       profile.vcd_dry)        # (nSpec, Nz)
-        tau_abs = _build_band_absorption(params, profile, nu, i_band)
+        tau_abs, tau_abs_by_mol = _build_band_absorption(params, profile, nu, i_band)
 
         surface = params.surfaces[min(len(bands), len(params.surfaces) - 1)]
         bands.append(BandData(nu_grid=nu, tau_rayl=tau_rayl, tau_abs=tau_abs,
@@ -441,5 +471,6 @@ def model_from_parameters(params: Parameters) -> RTModel:
                               aerosols=_build_band_aerosols(params, profile, nu),
                               depol_rayleigh=depol_ray,
                               depol_cabannes=depol_cab,
-                              pi_cabannes=pi_cab, surface=surface))
+                              pi_cabannes=pi_cab, surface=surface,
+                              tau_abs_by_mol=tau_abs_by_mol))
     return RTModel(params=params, quad=quad, profile=profile, bands=bands)
