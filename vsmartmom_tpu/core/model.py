@@ -198,6 +198,24 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
             surf_j[m] = quad.mu0 * R_raw[:, sl]
         return surf_r, surf_j, np.ones(n_spec), np.ones(n_m)
 
+    if kind in ("rpvSurfaceScalar", "RossLiSurfaceScalar"):
+        from ..surfaces.land_brdf import (RPVSurface, RossLiSurface,
+                                          rossli_reflectance, rpv_reflectance,
+                                          scalar_brdf_surface_arrays)
+        if kind == "rpvSurfaceScalar":
+            # ctor order: rpvSurfaceScalar(rho0, rho_c, k, theta)
+            # (types.jl rpvSurfaceScalar fields)
+            s = RPVSurface(*[float(a) for a in surface.args]) \
+                if surface.args else RPVSurface(**surface.kwargs)
+            fn = lambda mi, mr, dp: rpv_reflectance(s, mi, mr, dp)
+        else:
+            # ctor order: RossLiSurfaceScalar(fvol, fgeo, fiso)
+            s = RossLiSurface(*[float(a) for a in surface.args]) \
+                if surface.args else RossLiSurface(**surface.kwargs)
+            fn = lambda mi, mr, dp: rossli_reflectance(s, mi, mr, dp)
+        r, j = scalar_brdf_surface_arrays(fn, quad, n_stokes, n_m)
+        return r, j, np.ones(n_spec), np.ones(n_m)
+
     raise NotImplementedError(f"Surface type {kind} not yet implemented")
 
 
