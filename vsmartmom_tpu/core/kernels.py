@@ -34,13 +34,18 @@ MATMUL_PRECISION = "highest"
 
 
 class AddedLayer(NamedTuple):
-    """Homogeneous-layer operators (lowercase r/t/j of the reference)."""
+    """Homogeneous-layer operators (lowercase r/t/j of the reference).
+
+    Source vectors carry a trailing static source axis K (the TPU-native
+    form of the reference's per-source j0_by_src slots, types.jl:257-263):
+    slot 0 is the solar beam, further slots are volume/surface sources
+    (thermal, ...) each doubling with its own expk."""
     r_mp: jnp.ndarray   # r-+  (nSpec, N, N) reflection of downwelling -> up
     r_pm: jnp.ndarray   # r+-
     t_pp: jnp.ndarray   # t++  transmission of downwelling
     t_mm: jnp.ndarray   # t--
-    j0_p: jnp.ndarray   # j0+  (nSpec, N) downwelling source
-    j0_m: jnp.ndarray   # j0-  upwelling source
+    j0_p: jnp.ndarray   # j0+  (nSpec, N, K) downwelling sources
+    j0_m: jnp.ndarray   # j0-  upwelling sources
 
 
 class CompositeLayer(NamedTuple):
@@ -49,16 +54,17 @@ class CompositeLayer(NamedTuple):
     R_pm: jnp.ndarray
     T_pp: jnp.ndarray
     T_mm: jnp.ndarray
-    J0_p: jnp.ndarray
+    J0_p: jnp.ndarray   # (nSpec, N, K)
     J0_m: jnp.ndarray
 
 
-def identity_composite(n_spec: int, N: int, dtype) -> CompositeLayer:
+def identity_composite(n_spec: int, N: int, dtype,
+                       n_sources: int = 1) -> CompositeLayer:
     """Vacuum composite (R = 0, T = I, J = 0): interacting it with the first
     layer reproduces the reference's TOA copy step (rt_kernel.jl:243-245)."""
     eye = jnp.broadcast_to(jnp.eye(N, dtype=dtype), (n_spec, N, N))
     zero_m = jnp.zeros((n_spec, N, N), dtype)
-    zero_v = jnp.zeros((n_spec, N), dtype)
+    zero_v = jnp.zeros((n_spec, N, n_sources), dtype)
     return CompositeLayer(zero_m, zero_m, eye, eye, zero_v, zero_v)
 
 
@@ -94,8 +100,8 @@ def _bmm(a, b):
 
 
 def _bmv(a, v):
-    """Batched matrix @ vector: (s, N, N) x (s, N) -> (s, N)."""
-    return jnp.einsum("sij,sj->si", a, v, precision=MATMUL_PRECISION)
+    """Batched matrix @ source stack: (s, N, N) x (s, N, K) -> (s, N, K)."""
+    return jnp.matmul(a, v, precision=MATMUL_PRECISION)
 
 
 def _bsolve(a, b):
@@ -195,14 +201,17 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
     parity relation T_ab = D T_ba D, R_ab = D R_ba D (Eq. 29-30).
 
     Args:
-      expk: (nSpec,) beam attenuation exp(-dtau/mu0); squared every step.
+      j0_p/j0_m: (nSpec, N, K) stacked per-source vectors.
+      expk: (nSpec, K) per-source beam attenuation (solar: exp(-dtau/mu0);
+        thermal: ones — the Fortran TIR recipe, types.jl:279-286); squared
+        every step.
       ndoubl: static doubling count (uniform across layers/spectra).
       d_vec: (N,) +-1 D-matrix diagonal tiled over streams.
 
     Returns a full AddedLayer.
     """
     dtype = r_mp.dtype
-    n_spec, N = j0_p.shape
+    n_spec, N, _ = j0_p.shape
     eye = jnp.eye(N, dtype=dtype)
 
     if ndoubl == 0:
@@ -213,7 +222,7 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
 
     # Star: r* = D r, j-* = D j-  (elemental.jl:416-419, 388-390)
     r = r_mp * d_vec[None, :, None]
-    jm = j0_m * d_vec[None, :]
+    jm = j0_m * d_vec[None, :, None]
     jp = j0_p
     t = t_pp
 
@@ -222,9 +231,9 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
         # tt_gp = t (I - r r)^-1   [solve form, rt_helpers.jl:102-107]
         gp = _bsolve(eye[None] - _bmm(r, r), jnp.broadcast_to(eye, r.shape))
         tt_gp = _bmm(t, gp)
-        # Source cascade (rt_helpers.jl:130-136)
-        j1p = jp * ek[:, None]
-        j1m = jm * ek[:, None]
+        # Source cascade (rt_helpers.jl:130-136), per-source expk
+        j1p = jp * ek[:, None, :]
+        j1m = jm * ek[:, None, :]
         jm_new = jm + _bmv(tt_gp, j1m + _bmv(r, jp))
         jp_new = j1p + _bmv(tt_gp, jp + _bmv(r, j1m))
         # R/T update (rt_helpers.jl:161-166)
@@ -237,7 +246,7 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
 
     # Unstar + reconstruct (apply_D! / apply_D_SFI!, doubling.jl:178-216)
     r_mp_out = r * d_vec[None, :, None]
-    jm_out = jm * d_vec[None, :]
+    jm_out = jm * d_vec[None, :, None]
     sgn = jnp.outer(d_vec, d_vec)
     r_pm_out = sgn * r_mp_out
     t_mm_out = sgn * t
@@ -251,8 +260,9 @@ def interaction(comp: CompositeLayer, add: AddedLayer) -> CompositeLayer:
     case interaction.jl:207-266 (the reference's _00/_01/_10 trait cases are
     algebraic specializations that this single path reproduces exactly when
     the respective reflections vanish — uniform control flow for XLA).
+    Source stacks (s, N, K) flow through the same batched matmuls.
     """
-    n_spec, N = comp.J0_p.shape
+    n_spec, N, _ = comp.J0_p.shape
     eye = jnp.eye(N, dtype=comp.T_pp.dtype)
     eye_b = jnp.broadcast_to(eye, comp.T_pp.shape)
 

@@ -51,6 +51,7 @@ class Parameters:
     scattering_params: Optional[dict] = None
     dtau_max_threshold: float = 1e-3
     dtau_min_floor: Optional[float] = None
+    include_solar: bool = True          # zero F0 for thermal-only (TIR) runs
 
     @property
     def stream_l_cap(self) -> int:
@@ -140,6 +141,10 @@ class BandData:
     surface: SurfaceDescriptor = None
     # per-molecule absorption components (for gas-VMR Jacobians)
     tau_abs_by_mol: dict = field(default_factory=dict)
+    # optional sources: per-layer Planck radiance (Nz, nSpec) and surface
+    # SIF emission spectrum (nSpec,) — see add_thermal_emission / set_sif
+    thermal_b: Optional[np.ndarray] = None
+    sif_spec: Optional[np.ndarray] = None
 
     @property
     def n_spec(self) -> int:
@@ -315,15 +320,25 @@ class RTModel:
                 vza_w[m, iv] = w * pattern
 
         F0 = np.tile(pol.I0[:, None], (1, n_spec))
+        if not params.include_solar:
+            F0 = np.zeros_like(F0)
+
+        n_sources = 2 if band.thermal_b is not None else 1
+        thermal_b = band.thermal_b if band.thermal_b is not None \
+            else np.zeros((nz, n_spec))
+        sif_spec = band.sif_spec if band.sif_spec is not None \
+            else np.zeros(n_spec)
 
         config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
                               nz=nz, m_max=m_max, ndoubl=int(ndoubl),
-                              i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft)
+                              i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft,
+                              n_sources=n_sources)
         inputs = SolverInputs(
             qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
             tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,
             surf_r=surf_r, surf_j_m=surf_j, surf_spec=surf_spec,
-            surf_direct_m=surf_direct_m, vza_w=vza_w)
+            surf_direct_m=surf_direct_m, vza_w=vza_w,
+            thermal_b=thermal_b, sif_spec=sif_spec)
         return inputs, config
 
 

@@ -39,25 +39,50 @@ def _mixed_omega_Z(scat_w_z, Z_comp, tau_z):
 
 
 def _layer_step(comp, layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
-                config: SolverConfig, F0, fourier_w, d_vec):
-    """One layer of the vertical scan: elemental -> doubling -> interaction."""
-    tau_z, scat_w_z, tau_sum_z = layer_data
+                config: SolverConfig, F0, fourier_w, is_m0, d_vec):
+    """One layer of the vertical scan: elemental -> doubling -> interaction.
+
+    Builds the stacked per-source elemental j vectors: slot 0 solar (SFI),
+    slot 1 (when config.n_sources == 2) the per-layer Planck thermal volume
+    source (thermal_emission.jl:241-292) which is isotropic (m = 0 only,
+    Stokes-I) and doubles with its own expk = 1.
+    """
+    tau_z, scat_w_z, tau_sum_z, thermal_b_z = layer_data
+    dtype = tau_z.dtype
     dtau = tau_z / (2 ** config.ndoubl)
     wZ_pp = _mixed_omega_Z(scat_w_z, Z_pp_m, tau_z)
     wZ_mp = _mixed_omega_Z(scat_w_z, Z_mp_m, tau_z)
 
-    r_mp, t_pp, j0_p, j0_m = elemental(
+    r_mp, t_pp, j_sol_p, j_sol_m = elemental(
         wZ_pp, wZ_mp, dtau, tau_sum_z, qp_mu_N, wt_mu_N, mu0,
         config.i_mu0_start, config.n_stokes, F0, fourier_w)
 
-    from .kernels import _exp
-    expk = _exp(-dtau / mu0)
+    from .kernels import _exp, _expm1
+    expk_sol = _exp(-dtau / mu0)
+    if config.n_sources == 1:
+        j0_p = j_sol_p[..., None]
+        j0_m = j_sol_m[..., None]
+        expk = expk_sol[:, None]
+    else:
+        # Exact finite-dtau isothermal thermal source, Stokes-I rows only:
+        # j = 2pi (1 - pi_lambda) B (1 - e^{-dtau/mu_i}); the 2pi undoes the
+        # 0.5/pi postprocessing weight so B(T) survives in radiance units.
+        ssa = jnp.sum(scat_w_z, axis=0) / jnp.where(tau_z > 0, tau_z, 1.0)
+        is_I = ((jnp.arange(config.N) % config.n_stokes) == 0).astype(dtype)
+        j_th = (2.0 * jnp.pi * (1.0 - ssa)[:, None] * thermal_b_z[:, None]
+                * (-_expm1(-dtau[:, None] / qp_mu_N[None, :]))
+                * is_I[None, :]) * is_m0.astype(dtype)
+        j0_p = jnp.stack([j_sol_p, j_th], axis=-1)
+        j0_m = jnp.stack([j_sol_m, j_th], axis=-1)
+        expk = jnp.stack([expk_sol, jnp.ones_like(expk_sol)], axis=-1)
+
     add = doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
     return interaction(comp, add), None
 
 
 def _surface_layer(surf_r_m, surf_j_m, surf_direct_m, surf_spec, F0,
-                   tau_sum_boa, mu0, config: SolverConfig, dtype) -> AddedLayer:
+                   tau_sum_boa, mu0, sif_spec, is_m0,
+                   config: SolverConfig, dtype) -> AddedLayer:
     """Surface as an AddedLayer (reference Surfaces/*.jl create_surface_layer!).
 
     ``surf_r_m`` already includes the quadrature factor diag(mu_N * w_N);
@@ -80,6 +105,16 @@ def _surface_layer(surf_r_m, surf_j_m, surf_direct_m, surf_spec, F0,
         (F0 * att[None, :]).T * surf_direct_m)
     j0_m = jnp.einsum("ik,ks->si", surf_j_m, F0,
                       precision="highest") * (att * spec)[:, None]
+    # Surface SIF: isotropic Lambertian emission into the upwelling source,
+    # m = 0 only; factor 2 = (1/pi irradiance->radiance) x (2pi weight undo)
+    # (surface_sif.jl:24-34,177).
+    is_I = ((jnp.arange(N) % config.n_stokes) == 0).astype(dtype)
+    j0_m = j0_m + 2.0 * sif_spec[None, :].T * is_I[None, :] * is_m0.astype(dtype)
+
+    K = config.n_sources
+    zeros_v = jnp.zeros((n_spec, N, K - 1), dtype)
+    j0_p = jnp.concatenate([j0_p[..., None], zeros_v], axis=-1)
+    j0_m = jnp.concatenate([j0_m[..., None], zeros_v], axis=-1)
     return AddedLayer(r_mp, zero_m, eye, eye, j0_p, j0_m)
 
 
@@ -120,30 +155,39 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     n_m = config.m_max + 1
     fourier_w = jnp.asarray([0.5] + [0.25] * (n_m - 1), dtype)
 
+    thermal_b = inputs.thermal_b.astype(dtype)    # (Nz, s)
+    sif_spec = inputs.sif_spec.astype(dtype)      # (s,)
+
     def moment_body(carry, xs):
         R, T, Jup0, Jdn0 = carry
         (Z_pp_m, Z_mp_m, surf_r_m, surf_j_m, direct_m, vza_w_m, fw, is_m0) = xs
 
         step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
                        qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,
-                       config=config, F0=F0, fourier_w=fw, d_vec=d_vec)
+                       config=config, F0=F0, fourier_w=fw, is_m0=is_m0,
+                       d_vec=d_vec)
 
-        comp = identity_composite(n_spec, N, dtype)
-        comp, _ = jax.lax.scan(step, comp, (tau, scat_w, tau_sum[:nz]))
+        comp = identity_composite(n_spec, N, dtype, config.n_sources)
+        comp, _ = jax.lax.scan(step, comp,
+                               (tau, scat_w, tau_sum[:nz], thermal_b))
 
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
-                              tau_sum[nz], mu0, config, dtype)
+                              tau_sum[nz], mu0, sif_spec, is_m0, config, dtype)
         comp = interaction(comp, surf)
 
         # Azimuthal weighting (postprocessing_vza.jl:50-94), on-device:
-        # R += w * J0-(rows), T += w * J0+(rows).
-        Jm_rows = comp.J0_m[:, vza_rows]     # (s, nvza, ns)
-        Jp_rows = comp.J0_p[:, vza_rows]
+        # R += w * sum_sources J0-(rows), T += w * sum_sources J0+(rows)
+        # (RT reconstruction is linear in sources; each slot adds into the
+        # same output — postprocessing_vza.jl:68-82).
+        J0_m = comp.J0_m.sum(axis=-1)        # (s, N)
+        J0_p = comp.J0_p.sum(axis=-1)
+        Jm_rows = J0_m[:, vza_rows]          # (s, nvza, ns)
+        Jp_rows = J0_p[:, vza_rows]
         R = R + jnp.transpose(Jm_rows, (1, 2, 0)) * vza_w_m[:, :, None]
         T = T + jnp.transpose(Jp_rows, (1, 2, 0)) * vza_w_m[:, :, None]
 
-        Jup0 = jnp.where(is_m0, comp.J0_m, Jup0)
-        Jdn0 = jnp.where(is_m0, comp.J0_p, Jdn0)
+        Jup0 = jnp.where(is_m0, J0_m, Jup0)
+        Jdn0 = jnp.where(is_m0, J0_p, Jdn0)
         return (R, T, Jup0, Jdn0), None
 
     init = (jnp.zeros((nvza, ns, n_spec), dtype),

@@ -35,6 +35,7 @@ class SolverConfig:
     i_mu0: int           # solar stream node index (0-based)
     vza_idx: tuple       # per-VZA nearest stream node index (0-based)
     dtype: Any           # solver dtype (np.float32 / np.float64)
+    n_sources: int = 1   # stacked source slots (1 = solar; 2 = +thermal)
 
     @property
     def N(self) -> int:
@@ -64,6 +65,8 @@ class SolverInputs:
       surf_spec   (nSpec,)          spectral scaling of the surface reflection
       surf_direct_m (M,)            per-moment direct-beam mask for surface j0+
       vza_w       (M, nVZA, n_stokes) postprocessing Fourier-azimuth weights
+      thermal_b   (Nz, nSpec)       per-layer Planck radiance (thermal source)
+      sif_spec    (nSpec,)          surface SIF emission spectrum (irradiance)
     """
 
     qp_mu_N: Any
@@ -78,9 +81,12 @@ class SolverInputs:
     surf_spec: Any
     surf_direct_m: Any
     vza_w: Any
+    thermal_b: Any
+    sif_spec: Any
 
     _fields = ("qp_mu_N", "wt_mu_N", "tau", "scat_w", "Z_pp", "Z_mp", "F0",
-               "surf_r", "surf_j_m", "surf_spec", "surf_direct_m", "vza_w")
+               "surf_r", "surf_j_m", "surf_spec", "surf_direct_m", "vza_w",
+               "thermal_b", "sif_spec")
 
     def tree_flatten(self):
         return tuple(getattr(self, f) for f in self._fields), None

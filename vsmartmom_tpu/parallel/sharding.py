@@ -49,6 +49,8 @@ def input_shardings(mesh: Mesh) -> SolverInputs:
         surf_spec=NamedSharding(mesh, P(s)),          # (nSpec,)
         surf_direct_m=NamedSharding(mesh, P()),
         vza_w=NamedSharding(mesh, P()),
+        thermal_b=NamedSharding(mesh, P(None, s)),    # (Nz, nSpec)
+        sif_spec=NamedSharding(mesh, P(s)),           # (nSpec,)
     )
 
 
