@@ -159,7 +159,7 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     sif_spec = inputs.sif_spec.astype(dtype)      # (s,)
 
     def moment_body(carry, xs):
-        R, T, Jup0, Jdn0 = carry
+        R, T, hdr, bhr_uw, bhr_dw, Jup0, Jdn0 = carry
         (Z_pp_m, Z_mp_m, surf_r_m, surf_j_m, direct_m, vza_w_m, fw, is_m0) = xs
 
         step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
@@ -173,34 +173,60 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
 
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
                               tau_sum[nz], mu0, sif_spec, is_m0, config, dtype)
-        comp = interaction(comp, surf)
+        comp_out = interaction(comp, surf)
 
         # Azimuthal weighting (postprocessing_vza.jl:50-94), on-device:
         # R += w * sum_sources J0-(rows), T += w * sum_sources J0+(rows)
         # (RT reconstruction is linear in sources; each slot adds into the
         # same output — postprocessing_vza.jl:68-82).
-        J0_m = comp.J0_m.sum(axis=-1)        # (s, N)
-        J0_p = comp.J0_p.sum(axis=-1)
+        J0_m = comp_out.J0_m.sum(axis=-1)    # (s, N)
+        J0_p = comp_out.J0_p.sum(axis=-1)
         Jm_rows = J0_m[:, vza_rows]          # (s, nvza, ns)
         Jp_rows = J0_p[:, vza_rows]
         R = R + jnp.transpose(Jm_rows, (1, 2, 0)) * vza_w_m[:, :, None]
         T = T + jnp.transpose(Jp_rows, (1, 2, 0)) * vza_w_m[:, :, None]
 
+        # HDRF / BHR accumulation (interaction_hdrf.jl:1-42): surface-leaving
+        # radiance r_surf @ J0+(post-surface) + j_surf-; bi-hemispherical
+        # fluxes at m = 0 with the direct term added at the solar node.
+        from .kernels import _bmv
+        hdr_J = (_bmv(surf.r_mp, comp_out.J0_p).sum(axis=-1)
+                 + surf.j0_m.sum(axis=-1))                   # (s, N)
+        hdr = hdr + jnp.transpose(hdr_J[:, vza_rows], (1, 2, 0)) \
+            * vza_w_m[:, :, None]
+        wq = (wt_mu_N * qp_mu_N)
+        i_I = (jnp.arange(N) % ns) == 0
+        flux_uw = jnp.sum(hdr_J * (wq * i_I)[None, :], axis=1)      # (s,)
+        flux_dw = (jnp.sum(J0_p * (wq * i_I)[None, :], axis=1)
+                   + surf.j0_p[:, config.i_mu0_start, 0]
+                   * qp_mu_N[config.i_mu0_start])
+        bhr_uw = bhr_uw + is_m0.astype(dtype) * flux_uw
+        bhr_dw = bhr_dw + is_m0.astype(dtype) * flux_dw
+
         Jup0 = jnp.where(is_m0, J0_m, Jup0)
         Jdn0 = jnp.where(is_m0, J0_p, Jdn0)
-        return (R, T, Jup0, Jdn0), None
+        ys = (J0_m, J0_p) if config.save_streams else None
+        return (R, T, hdr, bhr_uw, bhr_dw, Jup0, Jdn0), ys
 
     init = (jnp.zeros((nvza, ns, n_spec), dtype),
             jnp.zeros((nvza, ns, n_spec), dtype),
+            jnp.zeros((nvza, ns, n_spec), dtype),
+            jnp.zeros((n_spec,), dtype),
+            jnp.zeros((n_spec,), dtype),
             jnp.zeros((n_spec, N), dtype),
             jnp.zeros((n_spec, N), dtype))
     xs = (inputs.Z_pp.astype(dtype), inputs.Z_mp.astype(dtype),
           inputs.surf_r.astype(dtype), inputs.surf_j_m.astype(dtype),
           inputs.surf_direct_m.astype(dtype), inputs.vza_w.astype(dtype),
           fourier_w, jnp.arange(n_m) == 0)
-    (R, T, Jup0, Jdn0), _ = jax.lax.scan(moment_body, init, xs)
+    (R, T, hdr, bhr_uw, bhr_dw, Jup0, Jdn0), ys = \
+        jax.lax.scan(moment_body, init, xs)
 
-    return {"R": R, "T": T, "J0_up_toa": Jup0, "J0_dn_boa": Jdn0}
+    out = {"R": R, "T": T, "hdr": hdr, "bhr_uw": bhr_uw, "bhr_dw": bhr_dw,
+           "J0_up_toa": Jup0, "J0_dn_boa": Jdn0}
+    if config.save_streams:
+        out["J_up_per_m"], out["J_dn_per_m"] = ys   # (n_m, s, N)
+    return out
 
 
 def rt_run(model):
@@ -212,11 +238,15 @@ def rt_run(model):
     (rt_run.jl:519-524).
     """
     Rs, Ts = [], []
+    hdrs, bhr_uws, bhr_dws = [], [], []
     for i_band, band in enumerate(model.bands):
         inputs, config = model.build_band(i_band)
         out = rt_solve(inputs, config)
         R = np.asarray(out["R"])
         T = np.asarray(out["T"])
+        hdrs.append(np.asarray(out["hdr"]))
+        bhr_uws.append(np.asarray(out["bhr_uw"]))
+        bhr_dws.append(np.asarray(out["bhr_dw"]))
         if band.surface.kind == "CoxMunkSurface":
             from ..surfaces.coxmunk import CoxMunkSurface, tms_correction
             surf = CoxMunkSurface(**{k: v for k, v in band.surface.kwargs.items()
@@ -228,3 +258,50 @@ def rt_run(model):
         Rs.append(R)
         Ts.append(T)
     return np.concatenate(Rs, axis=-1), np.concatenate(Ts, axis=-1)
+
+
+def rt_run_full(model):
+    """Forward run returning the full reference output tuple
+    (R_SFI, T_SFI, hdr, bhr_uw, bhr_dw) — rt_run.jl:535 minus the inelastic
+    slots (see inelastic.rt_run_inelastic for ieR/ieT)."""
+    R, T = rt_run(model)
+    hdrs, uws, dws = [], [], []
+    for i_band in range(len(model.bands)):
+        inputs, config = model.build_band(i_band)
+        out = rt_solve(inputs, config)
+        hdrs.append(np.asarray(out["hdr"]))
+        uws.append(np.asarray(out["bhr_uw"]))
+        dws.append(np.asarray(out["bhr_dw"]))
+    return (R, T, np.concatenate(hdrs, axis=-1),
+            np.concatenate(uws, axis=-1), np.concatenate(dws, axis=-1))
+
+
+def rt_run_streams(model, i_band: int = 0):
+    """Per-Fourier-moment stream export (reference rt_run_streams,
+    rt_run.jl:107-193): the per-moment J vectors at every quadrature stream
+    plus the reconstruction weights, so downstream consumers (e.g. disk
+    integrators) can Fourier-sum onto arbitrary (mu_v, phi) geometries
+    without one rt_run per geometry.
+
+    Returns a dict with J_up_per_m/J_dn_per_m (n_m, nSpec, N), qp_mu, wt_mu,
+    weights (the 0.5/pi, 1/pi moment weights), pol_n, and tau profiles.
+    """
+    import dataclasses
+    inputs, config = model.build_band(i_band)
+    config = dataclasses.replace(config, save_streams=True)
+    out = rt_solve(inputs, config)
+    n_m = config.m_max + 1
+    weights = np.asarray([0.5 / np.pi] + [1.0 / np.pi] * (n_m - 1))
+    band = model.bands[i_band]
+    return {
+        "J_up_per_m": np.asarray(out["J_up_per_m"]),
+        "J_dn_per_m": np.asarray(out["J_dn_per_m"]),
+        "weights": weights,
+        "qp_mu": model.quad.qp_mu,
+        "wt_mu": model.quad.wt_mu,
+        "pol_n": config.n_stokes,
+        "tau_rayl": band.tau_rayl,
+        "tau_abs": band.tau_abs,
+        "tau_total": np.asarray(inputs.tau).T,
+        "R": np.asarray(out["R"]),
+    }

@@ -36,6 +36,7 @@ class SolverConfig:
     vza_idx: tuple       # per-VZA nearest stream node index (0-based)
     dtype: Any           # solver dtype (np.float32 / np.float64)
     n_sources: int = 1   # stacked source slots (1 = solar; 2 = +thermal)
+    save_streams: bool = False   # emit per-moment stream vectors (rt_run_streams)
 
     @property
     def N(self) -> int:
