@@ -1,0 +1,505 @@
+"""Rotational Raman scattering (RRS) transport.
+
+Behavioral reference: /root/reference/src/CoreRT/CoreKernel/
+{elemental_inelastic.jl, doubling_inelastic.jl, interaction_inelastic.jl} and
+Inelastic/raman_atmo_prop.jl.
+
+Design. The inelastic field is first-order in the Raman coupling: for each
+discrete Raman shift, light at source wavelength n0 = n1 + shift scatters
+once inelastically and is otherwise transported elastically. Algebraically
+the coupled two-wavelength problem is block-triangular,
+
+    X(eps) = [[X(n0), 0], [eps*ieX, X(n1)]],
+
+and every adding/doubling composition preserves that structure, so the ieX
+blocks evolve by the product rule: in every operator product exactly one
+factor is replaced by its ie-counterpart, factors to its LEFT evaluate at n1
+and to its RIGHT at n0 (verified term-by-term against
+doubling_inelastic.jl:74-143). This module implements that "bichromatic jet"
+algebra on top of the elastic kernels:
+
+* the n0-role of any elastic array is a masked ``jnp.roll`` along the
+  spectral axis (uniform grid, integer shift offsets);
+* the Raman shifts are a ``vmap`` axis over the ie-arrays — each shift is an
+  independent (nSpec, N, N) problem in the same batched-GEMM shapes as the
+  elastic solver;
+* under spectral sharding this needs only a bounded halo of max|shift| grid
+  points — the context-parallel analogue noted in SURVEY section 5.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .kernels import (MATMUL_PRECISION, _bmm, _bsolve, _exp, _expm1,
+                      expdiff_neg)
+
+
+def _roll0(x, shift):
+    """Value at the source wavelength n0 = n1 + shift, zero outside band."""
+    S = x.shape[0]
+    rolled = jnp.roll(x, -shift, axis=0)
+    idx = jnp.arange(S)
+    valid = ((idx + shift) >= 0) & ((idx + shift) < S)
+    return rolled * valid.reshape((S,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+
+
+def _mv(a, v):
+    return jnp.einsum("sij,sj->si", a, v, precision=MATMUL_PRECISION)
+
+
+class IEAdded(NamedTuple):
+    """Per-shift homogeneous-layer ie operators, leading shift axis."""
+    ier_mp: jnp.ndarray   # (nR, s, N, N)
+    ier_pm: jnp.ndarray
+    iet_pp: jnp.ndarray
+    iet_mm: jnp.ndarray
+    iejp: jnp.ndarray     # (nR, s, N)
+    iejm: jnp.ndarray
+
+
+class IEComposite(NamedTuple):
+    ieR_mp: jnp.ndarray
+    ieR_pm: jnp.ndarray
+    ieT_pp: jnp.ndarray
+    ieT_mm: jnp.ndarray
+    ieJp: jnp.ndarray
+    ieJm: jnp.ndarray
+
+
+def zero_ie_composite(n_r, n_spec, N, dtype) -> IEComposite:
+    zm = jnp.zeros((n_r, n_spec, N, N), dtype)
+    zv = jnp.zeros((n_r, n_spec, N), dtype)
+    return IEComposite(zm, zm, zm, zm, zv, zv)
+
+
+def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
+                 qp_mu_N, wct, mu0, i_mu0_start, n_stokes, F0, fourier_w):
+    """Inelastic elemental operators for ONE Raman shift
+    (get_elem_rt_RRS!, elemental_inelastic.jl:117-206; SFI kernel l.480-598).
+
+    Args: shift (traced int), w_rr scalar Raman weight, fscatt (s,) Rayleigh
+    scattering fraction, dtau (s,) total elemental depth, tau_sum (s,),
+    Z_pp_r/Z_mp_r (N, N) Raman phase supermatrices, wct (N,) scaled weights.
+    Returns (ier_mp, iet_pp, iejp, iejm) — reverse operators come from the
+    D symmetry after doubling.
+    """
+    d1 = dtau                                     # target wavelength n1
+    d0 = _roll0(dtau, shift)                      # source wavelength n0
+    fsc0 = _roll0(fscatt, shift)
+    valid = d0 > 0
+
+    mu_i = qp_mu_N[:, None]
+    mu_j = qp_mu_N[None, :]
+    safe_d0 = jnp.where(valid, d0, 1.0)
+    ratio = (d1 / safe_d0)[:, None, None]         # (s,1,1)
+    pref = (w_rr * fsc0 * valid)[:, None, None]
+
+    ier = (pref * Z_mp_r[None] * wct[None, None, :]
+           * (1.0 / (mu_i / mu_j + ratio))
+           * (-_expm1(-(d1[:, None, None] / mu_i + d0[:, None, None] / mu_j))))
+
+    same_mu = jnp.abs(mu_i - mu_j) <= 1e-6 * jnp.maximum(mu_i, mu_j)
+    ediff = expdiff_neg(d1[:, None, None] / mu_i, d0[:, None, None] / mu_j)
+    base = pref * Z_pp_r[None] * wct[None, None, :]
+    degen_t = base * (d0[:, None, None] / mu_i) * _exp(-d0[:, None, None] / mu_j)
+
+    deg_same = (jnp.abs(d0 - d1) <= 1e-6)[:, None, None]
+    t_same = jnp.where(deg_same, degen_t,
+                       base * ediff / jnp.where(deg_same, 1.0, 1.0 - ratio))
+    gen_ratio = mu_i / mu_j - ratio
+    deg_gen = jnp.abs(gen_ratio) < 1e-8
+    t_gen = jnp.where(deg_gen, degen_t,
+                      base * ediff / jnp.where(deg_gen, 1.0, gen_ratio))
+    iet = jnp.where(same_mu[None], t_same, t_gen)
+
+    # SFI sources: incident-wavelength quantities at n0
+    ns = n_stokes
+    sl = slice(i_mu0_start, i_mu0_start + ns)
+    F0_0 = _roll0(F0.T, shift)                    # (s, ns)
+    Zp_I0 = jnp.einsum("ik,sk->si", Z_pp_r[:, sl], F0_0,
+                       precision=MATMUL_PRECISION)
+    Zm_I0 = jnp.einsum("ik,sk->si", Z_mp_r[:, sl], F0_0,
+                       precision=MATMUL_PRECISION)
+
+    prefv = fourier_w * w_rr * (fsc0 * valid)[:, None]       # (s,1)
+    mu_v = qp_mu_N[None, :]
+    d1v, d0v = d1[:, None], d0[:, None]
+    safe_d0v = jnp.where(valid, d0, 1.0)[:, None]
+    in_block = ((jnp.arange(qp_mu_N.shape[0]) >= i_mu0_start)
+                & (jnp.arange(qp_mu_N.shape[0]) < i_mu0_start + ns)) | \
+        (jnp.abs(qp_mu_N - mu0) <= 1e-6 * mu0)
+
+    degen_s = prefv * Zp_I0 * (d0v / mu_v) * _exp(-d0v / mu0)
+    deg_b = (jnp.abs(d0 - d1) <= 1e-8)[:, None]
+    jp_in = jnp.where(
+        deg_b,
+        prefv * Zp_I0 * (d0v / mu_v) * _exp(-d0v / mu_v),
+        prefv * Zp_I0 * expdiff_neg(d1v / mu_v, d0v / mu_v)
+        / jnp.where(deg_b, 1.0, 1.0 - d1v / safe_d0v))
+    gen_s = mu_v / mu0 - d1v / safe_d0v
+    deg_s = jnp.abs(gen_s) < 1e-8
+    jp_out = jnp.where(
+        deg_s, degen_s,
+        prefv * Zp_I0 * expdiff_neg(d1v / mu_v, d0v / mu0)
+        / jnp.where(deg_s, 1.0, gen_s))
+    iejp = jnp.where(in_block[None, :], jp_in, jp_out)
+
+    iejm = prefv * Zm_I0 * (1.0 / (mu_v / mu0 + d1v / safe_d0v)) * \
+        (-_expm1(-(d1v / mu_v + d0v / mu0)))
+
+    att0 = _exp(-_roll0(tau_sum, shift) / mu0)[:, None]
+    return ier, iet, iejp * att0, iejm * att0
+
+
+def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts):
+    """One doubling step of the (starred) ie quantities given the elastic
+    starred state of the same step (doubling_inelastic.jl:74-143).
+
+    ie_carry = (ier*, iet, iejp, iejm*) with leading shift axis; r/jm are the
+    starred elastic quantities; jp/jm are the solar source slot (s, N).
+    """
+    def per_shift(shift, ier, iet, iejp, iejm):
+        R0 = lambda x: _roll0(x, shift)
+        ek0 = R0(ek)
+        j1p = jp * ek[:, None]
+        j1m = jm * ek[:, None]
+        iej1p = iejp * ek0[:, None]
+        iej1m = iejm * ek0[:, None]
+
+        tmp1 = _mv(gp, jp + _mv(r, j1m))
+        tmp2 = _mv(gp, j1m + _mv(r, jp))
+
+        r0, t0 = R0(r), R0(t)
+        gp0, tmp1_0, tmp2_0 = R0(gp), R0(tmp1), R0(tmp2)
+        mix = _bmm(r, ier) + _bmm(ier, r0)        # (r r)_ie
+
+        iejp_new = iej1p + _mv(tt_gp, iejp + _mv(r, iej1m) + _mv(ier, R0(j1m))
+                               + _mv(mix, tmp1_0)) + _mv(iet, tmp1_0)
+        iejm_new = iejm + _mv(tt_gp, iej1m + _mv(ier, R0(jp)) + _mv(r, iejp)
+                              + _mv(mix, tmp2_0)) + _mv(iet, tmp2_0)
+
+        gp0_t0 = _bmm(gp0, t0)
+        iet_new = _bmm(tt_gp, iet + _bmm(mix, gp0_t0)) + _bmm(iet, gp0_t0)
+        ier_new = ier + _bmm(iet, _bmm(gp0, _bmm(r0, t0))) + \
+            _bmm(tt_gp, _bmm(r, iet)
+                 + _bmm(ier + _bmm(mix, _bmm(gp0, r0)), t0))
+        return ier_new, iet_new, iejp_new, iejm_new
+
+    return jax.vmap(per_shift)(shifts, *ie_carry)
+
+
+def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
+                   shifts) -> IEComposite:
+    """ie-part of the adding step, derived by the bichromatic product rule
+    from kernels.interaction() (behavioral reference
+    interaction_inelastic.jl). Elastic comp/add are PRE-interaction states;
+    elastic sources are the solar slot (s, N)."""
+    N = comp_el["T_pp"].shape[-1]
+    eye = jnp.eye(N, dtype=comp_el["T_pp"].dtype)
+    eye_b = jnp.broadcast_to(eye, comp_el["T_pp"].shape)
+
+    r_a, rpm_a = add_el["r_mp"], add_el["r_pm"]
+    tpp_a, tmm_a = add_el["t_pp"], add_el["t_mm"]
+    jp_a, jm_a = add_el["j0_p"], add_el["j0_m"]
+    Rmp_c, Rpm_c = comp_el["R_mp"], comp_el["R_pm"]
+    Tpp_c, Tmm_c = comp_el["T_pp"], comp_el["T_mm"]
+    Jp_c, Jm_c = comp_el["J0_p"], comp_el["J0_m"]
+
+    inv1 = _bsolve(eye_b - _bmm(r_a, Rpm_c), eye_b)
+    T01 = _bmm(Tmm_c, inv1)
+    inv2 = _bsolve(eye_b - _bmm(Rpm_c, r_a), eye_b)
+    T21 = _bmm(tpp_a, inv2)
+
+    def per_shift(shift, ieR_mp, ieR_pm, ieT_pp, ieT_mm, ieJp, ieJm,
+                  ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm):
+        R0 = lambda x: _roll0(x, shift)
+
+        dinv1 = _bmm(inv1, _bmm(_bmm(ier_mp, R0(Rpm_c))
+                                + _bmm(r_a, ieR_pm), R0(inv1)))
+        dT01 = _bmm(ieT_mm, R0(inv1)) + _bmm(Tmm_c, dinv1)
+
+        ieJm_new = ieJm + _mv(dT01, R0(_mv(r_a, Jp_c) + jm_a)) + \
+            _mv(T01, _mv(ier_mp, R0(Jp_c)) + _mv(r_a, ieJp) + iejm)
+        ieR_mp_new = ieR_mp + _bmm(dT01, R0(_bmm(r_a, Tpp_c))) + \
+            _bmm(T01, _bmm(ier_mp, R0(Tpp_c)) + _bmm(r_a, ieT_pp))
+        ieT_mm_new = _bmm(dT01, R0(tmm_a)) + _bmm(T01, iet_mm)
+
+        dinv2 = _bmm(inv2, _bmm(_bmm(ieR_pm, R0(r_a))
+                                + _bmm(Rpm_c, ier_mp), R0(inv2)))
+        dT21 = _bmm(iet_pp, R0(inv2)) + _bmm(tpp_a, dinv2)
+
+        ieJp_new = iejp + _mv(dT21, R0(Jp_c + _mv(Rpm_c, jm_a))) + \
+            _mv(T21, ieJp + _mv(ieR_pm, R0(jm_a)) + _mv(Rpm_c, iejm))
+        ieT_pp_new = _bmm(dT21, R0(Tpp_c)) + _bmm(T21, ieT_pp)
+        ieR_pm_new = ier_pm + _bmm(dT21, R0(_bmm(Rpm_c, tmm_a))) + \
+            _bmm(T21, _bmm(ieR_pm, R0(tmm_a)) + _bmm(Rpm_c, iet_mm))
+
+        return (ieR_mp_new, ieR_pm_new, ieT_pp_new, ieT_mm_new,
+                ieJp_new, ieJm_new)
+
+    out = jax.vmap(per_shift)(shifts, *comp_ie, *add_ie)
+    return IEComposite(*out)
+
+
+def ie_star(ie_fields, d_vec):
+    """Star ier and iejm before doubling (apply_D_elemental_RRS! /
+    elemental SFI D flip): rows with Stokes parity > 2 negate."""
+    ier, iet, iejp, iejm = ie_fields
+    return (ier * d_vec[None, None, :, None], iet, iejp,
+            iejm * d_vec[None, None, :])
+
+
+def ie_unstar(ie_fields, d_vec) -> IEAdded:
+    """Unstar + reconstruct reverse ie operators via the parity relation
+    (apply_D_matrix_IE!, doubling_inelastic.jl:159)."""
+    ier, iet, iejp, iejm = ie_fields
+    sgn = jnp.outer(d_vec, d_vec)
+    ier_mp = ier * d_vec[None, None, :, None]
+    iejm_out = iejm * d_vec[None, None, :]
+    return IEAdded(ier_mp, sgn * ier_mp, iet, sgn * iet, iejp, iejm_out)
+
+
+def ie_added_zero(n_r, n_spec, N, dtype) -> IEAdded:
+    zm = jnp.zeros((n_r, n_spec, N, N), dtype)
+    zv = jnp.zeros((n_r, n_spec, N), dtype)
+    return IEAdded(zm, zm, zm, zm, zv, zv)
+
+
+# ---------------------------------------------------------------------------
+# Combined elastic + inelastic doubling and the RRS driver
+# ---------------------------------------------------------------------------
+
+from functools import partial as _partial
+
+import numpy as _np
+
+from .kernels import AddedLayer as _AddedLayer
+from .kernels import CompositeLayer as _CompositeLayer
+from .kernels import elemental as _elemental
+from .kernels import identity_composite as _identity_composite
+from .kernels import interaction as _interaction
+from .types import SolverConfig, SolverInputs, stokes_d_vector
+
+
+def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
+                d_vec, shifts):
+    """Elastic + inelastic doubling (doubling_helper! RRS,
+    doubling_inelastic.jl:13-164). Elastic sources are (s, N) solar vectors.
+    Returns (AddedLayer with K=1 sources, IEAdded)."""
+    dtype = r_mp.dtype
+    n_spec, N = j0_p.shape
+    eye = jnp.eye(N, dtype=dtype)
+    sgn = jnp.outer(d_vec, d_vec)
+
+    ie0 = ie_star(ie_fields, d_vec)
+
+    if ndoubl == 0:
+        add = _AddedLayer(r_mp, sgn * r_mp, t_pp, sgn * t_pp,
+                          j0_p[..., None], j0_m[..., None])
+        return add, ie_unstar(ie0, d_vec)
+
+    r = r_mp * d_vec[None, :, None]
+    jm = j0_m * d_vec[None, :]
+    jp, t = j0_p, t_pp
+
+    def step(carry, _):
+        r, t, jp, jm, ek, ier, iet, iejp, iejm = carry
+        gp = _bsolve(eye[None] - _bmm(r, r), jnp.broadcast_to(eye, r.shape))
+        tt_gp = _bmm(t, gp)
+        # ie update FIRST (uses the pre-update elastic state)
+        ier, iet, iejp, iejm = ie_doubling_step(
+            r, t, jp, jm, ek, gp, tt_gp, (ier, iet, iejp, iejm), shifts)
+        # elastic update (rt_helpers.jl:130-166)
+        j1p = jp * ek[:, None]
+        j1m = jm * ek[:, None]
+        jm_new = jm + _mv(tt_gp, j1m + _mv(r, jp))
+        jp_new = j1p + _mv(tt_gp, jp + _mv(r, j1m))
+        r_new = r + _bmm(tt_gp, _bmm(r, t))
+        t_new = _bmm(tt_gp, t)
+        return (r_new, t_new, jp_new, jm_new, ek * ek,
+                ier, iet, iejp, iejm), None
+
+    carry0 = (r, t, jp, jm, expk) + tuple(ie0)
+    (r, t, jp, jm, _, ier, iet, iejp, iejm), _ = jax.lax.scan(
+        step, carry0, None, length=ndoubl)
+
+    r_out = r * d_vec[None, :, None]
+    jm_out = jm * d_vec[None, :]
+    add = _AddedLayer(r_out, sgn * r_out, t, sgn * t,
+                      jp[..., None], jm_out[..., None])
+    return add, ie_unstar((ier, iet, iejp, iejm), d_vec)
+
+
+def _comp_dict(comp: _CompositeLayer):
+    return {"R_mp": comp.R_mp, "R_pm": comp.R_pm, "T_pp": comp.T_pp,
+            "T_mm": comp.T_mm, "J0_p": comp.J0_p[..., 0],
+            "J0_m": comp.J0_m[..., 0]}
+
+
+def _add_dict(add: _AddedLayer):
+    return {"r_mp": add.r_mp, "r_pm": add.r_pm, "t_pp": add.t_pp,
+            "t_mm": add.t_mm, "j0_p": add.j0_p[..., 0],
+            "j0_m": add.j0_m[..., 0]}
+
+
+@_partial(jax.jit, static_argnames=("config",))
+def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
+                 shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt):
+    """Full RRS solve (reference rt_run(RRS(), model), rt_run.jl:238-539 with
+    the inelastic kernels). Returns dict with the elastic R/T and the
+    inelastic ieR/ieT (each (nVZA, nStokes, nSpec)).
+
+    Extra args: shifts (nR,) int index offsets; w_shifts (nR,) normalized
+    Raman weights; Z_r_pp/Z_r_mp (n_m, N, N) Raman phase supermatrices;
+    fscatt (Nz, nSpec) Rayleigh fraction of layer scattering.
+    """
+    dtype = jnp.dtype(config.dtype)
+    n_spec, N, nz = config.n_spec, config.N, config.nz
+    ns = config.n_stokes
+    n_r = shifts.shape[0]
+
+    qp_mu_N = inputs.qp_mu_N.astype(dtype)
+    wt_mu_N = inputs.wt_mu_N.astype(dtype)
+    mu0 = qp_mu_N[config.i_mu0_start]
+    d_vec = jnp.asarray(stokes_d_vector(ns, config.nquad), dtype)
+
+    tau = inputs.tau.astype(dtype)
+    scat_w = inputs.scat_w.astype(dtype)
+    F0 = inputs.F0.astype(dtype)
+    surf_spec = inputs.surf_spec.astype(dtype)
+    fscatt = fscatt.astype(dtype)
+    w_shifts = w_shifts.astype(dtype)
+
+    tau_sum = jnp.concatenate(
+        [jnp.zeros((1, n_spec), dtype), jnp.cumsum(tau, axis=0)], axis=0)
+
+    nvza = len(config.vza_idx)
+    vza_rows = _np.asarray(
+        [[v * ns + k for k in range(ns)] for v in config.vza_idx])
+    n_m = config.m_max + 1
+    fourier_w_all = jnp.asarray([0.5] + [0.25] * (n_m - 1), dtype)
+
+    def layer_step(carry, layer_data, *, Z_pp_m, Z_mp_m, Z_r_pp_m,
+                   Z_r_mp_m, fw):
+        comp, comp_ie = carry
+        tau_z, scat_w_z, tau_sum_z, fscatt_z = layer_data
+        dtau = tau_z / (2 ** config.ndoubl)
+
+        from .solver import _mixed_omega_Z
+        wZ_pp = _mixed_omega_Z(scat_w_z, Z_pp_m, tau_z)
+        wZ_mp = _mixed_omega_Z(scat_w_z, Z_mp_m, tau_z)
+        r_mp, t_pp, j_p, j_m = _elemental(
+            wZ_pp, wZ_mp, dtau, tau_sum_z, qp_mu_N, wt_mu_N, mu0,
+            config.i_mu0_start, ns, F0, fw)
+
+        wct = fw * wt_mu_N
+        ie_el = jax.vmap(
+            lambda sh, w: ie_elemental(sh, w, fscatt_z, dtau, tau_sum_z,
+                                       Z_r_pp_m, Z_r_mp_m,
+                                       qp_mu_N, wct, mu0, config.i_mu0_start,
+                                       ns, F0, fw)
+        )(shifts, w_shifts)
+
+        expk = _exp(-dtau / mu0)
+        add, add_ie = doubling_rs(r_mp, t_pp, j_p, j_m, expk, ie_el,
+                                  config.ndoubl, d_vec, shifts)
+
+        comp_ie_new = ie_interaction(_comp_dict(comp), _add_dict(add),
+                                     comp_ie, add_ie, shifts)
+        comp_new = _interaction(comp, add)
+        return (comp_new, comp_ie_new), None
+
+    def moment_body(carry, xs):
+        R, T, ieR, ieT = carry
+        (Z_pp_m, Z_mp_m, Z_r_pp_m, Z_r_mp_m, surf_r_m, surf_j_m,
+         direct_m, vza_w_m, fw, is_m0) = xs
+
+        step = _partial(layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
+                        Z_r_pp_m=Z_r_pp_m, Z_r_mp_m=Z_r_mp_m, fw=fw)
+
+        comp = _identity_composite(n_spec, N, dtype, 1)
+        comp_ie = zero_ie_composite(n_r, n_spec, N, dtype)
+        (comp, comp_ie), _ = jax.lax.scan(
+            step, (comp, comp_ie),
+            (tau, scat_w, tau_sum[:nz], fscatt))
+
+        from .solver import _surface_layer
+        sif0 = inputs.sif_spec.astype(dtype)
+        surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
+                              tau_sum[nz], mu0, sif0, is_m0, config, dtype)
+        add_ie0 = ie_added_zero(n_r, n_spec, N, dtype)
+        comp_ie = ie_interaction(_comp_dict(comp), _add_dict(surf),
+                                 comp_ie, add_ie0, shifts)
+        comp = _interaction(comp, surf)
+
+        J0_m = comp.J0_m[..., 0]
+        J0_p = comp.J0_p[..., 0]
+        ieJm_tot = comp_ie.ieJm.sum(axis=0)      # sum over Raman shifts
+        ieJp_tot = comp_ie.ieJp.sum(axis=0)
+
+        w3 = vza_w_m[:, :, None]
+        R = R + jnp.transpose(J0_m[:, vza_rows], (1, 2, 0)) * w3
+        T = T + jnp.transpose(J0_p[:, vza_rows], (1, 2, 0)) * w3
+        ieR = ieR + jnp.transpose(ieJm_tot[:, vza_rows], (1, 2, 0)) * w3
+        ieT = ieT + jnp.transpose(ieJp_tot[:, vza_rows], (1, 2, 0)) * w3
+        return (R, T, ieR, ieT), None
+
+    z0 = jnp.zeros((nvza, ns, n_spec), dtype)
+    xs = (inputs.Z_pp.astype(dtype), inputs.Z_mp.astype(dtype),
+          Z_r_pp.astype(dtype), Z_r_mp.astype(dtype),
+          inputs.surf_r.astype(dtype), inputs.surf_j_m.astype(dtype),
+          inputs.surf_direct_m.astype(dtype), inputs.vza_w.astype(dtype),
+          fourier_w_all, jnp.arange(n_m) == 0)
+    (R, T, ieR, ieT), _ = jax.lax.scan(moment_body, (z0, z0, z0, z0), xs)
+    return {"R": R, "T": T, "ieR": ieR, "ieT": ieT}
+
+
+def rt_run_inelastic(model, i_band: int = 0):
+    """User-facing RRS forward run (reference rt_run(RRS(...), model)).
+
+    Returns (R, T, ieR, ieT): the elastic (Cabannes-path) radiance factors
+    and the rotational-Raman inelastic contributions, each
+    (nVZA, nStokes, nSpec). Total radiance = R + ieR.
+    """
+    import numpy as np
+
+    from ..inelastic.rrs_setup import greek_raman, rrs_redistribution
+    from ..scattering.zmatrix import compute_Z_moments
+
+    band = model.bands[i_band]
+    inputs, config = model.build_band(i_band, rrs=True)
+
+    shifts, w_shifts, _ = rrs_redistribution(band.nu_grid)
+    if len(shifts) == 0:
+        raise ValueError("spectral grid too narrow/coarse for any rotational-"
+                         "Raman shift (lines span ~ +-200 cm^-1)")
+    # Use the band's Cabannes fraction for the weight normalization so the
+    # elastic + inelastic split is consistent with the elastic path.
+    w_shifts = w_shifts * (1.0 - band.pi_cabannes) / w_shifts.sum()
+
+    pol = model.params.polarization
+    gk_r = greek_raman()
+    n_m = config.m_max + 1
+    N = config.N
+    Z_r_pp = np.zeros((n_m, N, N))
+    Z_r_mp = np.zeros((n_m, N, N))
+    for m in range(n_m):
+        Z_r_pp[m], Z_r_mp[m] = compute_Z_moments(pol, model.quad.qp_mu,
+                                                 gk_r, m)
+
+    # Rayleigh fraction of layer scattering (fScattRayleigh,
+    # compEffectiveLayerProperties.jl:56): tau_rayl / (tau_rayl + tau_aer).
+    tau_scat_mix = band.tau_rayl.T.copy()          # (Nz, s)
+    for aer in band.aerosols:
+        prof = np.asarray(aer.tau_profile)
+        tau_scat_mix = tau_scat_mix + (prof[:, None] if prof.ndim == 1
+                                       else prof.T)
+    fscatt = band.tau_rayl.T / np.where(tau_scat_mix > 0, tau_scat_mix, 1.0)
+
+    out = rt_solve_rrs(inputs, config, jnp.asarray(shifts),
+                       jnp.asarray(w_shifts), jnp.asarray(Z_r_pp),
+                       jnp.asarray(Z_r_mp), jnp.asarray(fscatt))
+    return (np.asarray(out["R"]), np.asarray(out["T"]),
+            np.asarray(out["ieR"]), np.asarray(out["ieT"]))

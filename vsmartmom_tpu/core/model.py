@@ -145,6 +145,8 @@ class BandData:
     # SIF emission spectrum (nSpec,) — see add_thermal_emission / set_sif
     thermal_b: Optional[np.ndarray] = None
     sif_spec: Optional[np.ndarray] = None
+    # optional solar irradiance spectrum (nSpec,) scaling F0 (e.g. Kurucz)
+    f0_spec: Optional[np.ndarray] = None
 
     @property
     def n_spec(self) -> int:
@@ -263,7 +265,7 @@ class RTModel:
     def band_solver_args(self):
         return [self.build_band(i) for i in range(len(self.bands))]
 
-    def build_band(self, i_band: int):
+    def build_band(self, i_band: int, rrs: bool = False):
         params, quad = self.params, self.quad
         pol = params.polarization
         ns = pol.n
@@ -279,7 +281,16 @@ class RTModel:
             band.surface, quad, ns, n_m, n_spec)
 
         # Phase supermatrices per Fourier moment per scattering component.
-        greeks = [band.greek_rayleigh] + [a.greek for a in band.aerosols]
+        # For RRS runs the elastic path switches Rayleigh -> Cabannes Greek
+        # coefficients and single-scattering albedo (the rotational-Raman
+        # part is transported by the inelastic kernels;
+        # compEffectiveLayerProperties.jl:8-9,36-41).
+        if rrs:
+            from ..scattering.greek import greek_rayleigh as _gr
+            greek0 = _gr(band.depol_cabannes)
+        else:
+            greek0 = band.greek_rayleigh
+        greeks = [greek0] + [a.greek for a in band.aerosols]
         n_comp = len(greeks)
         Z_pp = np.zeros((n_m, n_comp, N, N))
         Z_mp = np.zeros((n_m, n_comp, N, N))
@@ -290,7 +301,7 @@ class RTModel:
         # Layer mixing weights: scattering weight tau_c * ssa_c per component
         # (elastic noRS: Rayleigh ssa = 1; compEffectiveLayerProperties.jl:40).
         scat_w = np.zeros((nz, n_comp, n_spec))
-        scat_w[:, 0, :] = band.tau_rayl.T
+        scat_w[:, 0, :] = band.tau_rayl.T * (band.pi_cabannes if rrs else 1.0)
         tau = band.tau_rayl.T + band.tau_abs.T                 # (Nz, nSpec)
         for c, aer in enumerate(band.aerosols, start=1):
             prof = np.asarray(aer.tau_profile, dtype=np.float64)
@@ -320,6 +331,8 @@ class RTModel:
                 vza_w[m, iv] = w * pattern
 
         F0 = np.tile(pol.I0[:, None], (1, n_spec))
+        if band.f0_spec is not None:
+            F0 = F0 * np.asarray(band.f0_spec)[None, :]
         if not params.include_solar:
             F0 = np.zeros_like(F0)
 
