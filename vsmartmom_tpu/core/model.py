@@ -95,6 +95,8 @@ class AbsorptionParams:
     wing_cutoff: float = 40.0
     par_paths: dict = field(default_factory=dict)
     luts: list = field(default_factory=list)
+    cia_files: list = field(default_factory=list)   # HITRAN .cia paths
+    mtckd_file: str = ""                            # AER absco-ref .nc path
 
 
 @dataclass
@@ -480,6 +482,21 @@ def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
                                              profile)
         by_mol[mol_name] = tau_mol
         tau_abs += tau_mol
+
+    # Collision-induced absorption + MT_CKD H2O continuum
+    # (model_from_parameters.jl:347-366). Continua are not per-molecule
+    # Jacobian components in the reference either.
+    if ap.cia_files:
+        from ..absorption.continuum import compute_tau_cia, load_cia_table
+        for cia_path in ap.cia_files:
+            table = load_cia_table(cia_path, nu)
+            tau_abs += compute_tau_cia(table, profile, ap.vmr)
+    if ap.mtckd_file:
+        from ..absorption.continuum import (compute_tau_h2o_continuum,
+                                            load_mtckd)
+        mt = load_mtckd(ap.mtckd_file)
+        tau_abs += compute_tau_h2o_continuum(mt, nu, profile,
+                                             profile.vmr_h2o)
     return tau_abs, by_mol
 
 

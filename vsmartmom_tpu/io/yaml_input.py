@@ -162,7 +162,10 @@ def _parse_absorption(ab: dict):
                                "HumlicekWeidemann32SDErrorFunction()"))[0],
         wing_cutoff=float(ab.get("wing_cutoff", 40.0)),
         par_paths={k: _expand_env(v)
-                   for k, v in (ab.get("par_paths") or {}).items()})
+                   for k, v in (ab.get("par_paths") or {}).items()},
+        cia_files=[_expand_env(p) for p in (ab.get("cia_files") or [])],
+        mtckd_file=_expand_env(ab["mtckd_file"])
+        if ab.get("mtckd_file") else "")
 
 
 def parameters_from_dict(d: dict) -> Parameters:
