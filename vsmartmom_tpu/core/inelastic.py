@@ -45,6 +45,13 @@ def _roll0(x, shift):
     return rolled * valid.reshape((S,) + (1,) * (x.ndim - 1)).astype(x.dtype)
 
 
+def _src_fixed0(x, shift):
+    """Fixed-source map for vibrational Raman: the incident wavelength is
+    grid point 0 (get_elem_rt_VS! convention, elemental_inelastic.jl:279);
+    every target receives from it. ``shift`` is ignored."""
+    return jnp.broadcast_to(x[0:1], x.shape)
+
+
 def _mv(a, v):
     return jnp.einsum("sij,sj->si", a, v, precision=MATMUL_PRECISION)
 
@@ -75,7 +82,8 @@ def zero_ie_composite(n_r, n_spec, N, dtype) -> IEComposite:
 
 
 def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
-                 qp_mu_N, wct, mu0, i_mu0_start, n_stokes, F0, fourier_w):
+                 qp_mu_N, wct, mu0, i_mu0_start, n_stokes, F0, fourier_w,
+                 src_fn=_roll0):
     """Inelastic elemental operators for ONE Raman shift
     (get_elem_rt_RRS!, elemental_inelastic.jl:117-206; SFI kernel l.480-598).
 
@@ -86,9 +94,12 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     D symmetry after doubling.
     """
     d1 = dtau                                     # target wavelength n1
-    d0 = _roll0(dtau, shift)                      # source wavelength n0
-    fsc0 = _roll0(fscatt, shift)
+    d0 = src_fn(dtau, shift)                      # source wavelength n0
+    fsc0 = src_fn(fscatt, shift)
     valid = d0 > 0
+    # w_rr may be a scalar (RRS: one weight per shift) or a per-target
+    # vector (VS: weights scattered over the output grid)
+    w_rr = jnp.broadcast_to(jnp.asarray(w_rr, dtau.dtype), dtau.shape)
 
     mu_i = qp_mu_N[:, None]
     mu_j = qp_mu_N[None, :]
@@ -117,13 +128,13 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     # SFI sources: incident-wavelength quantities at n0
     ns = n_stokes
     sl = slice(i_mu0_start, i_mu0_start + ns)
-    F0_0 = _roll0(F0.T, shift)                    # (s, ns)
+    F0_0 = src_fn(F0.T, shift)                    # (s, ns)
     Zp_I0 = jnp.einsum("ik,sk->si", Z_pp_r[:, sl], F0_0,
                        precision=MATMUL_PRECISION)
     Zm_I0 = jnp.einsum("ik,sk->si", Z_mp_r[:, sl], F0_0,
                        precision=MATMUL_PRECISION)
 
-    prefv = fourier_w * w_rr * (fsc0 * valid)[:, None]       # (s,1)
+    prefv = fourier_w * (w_rr * fsc0 * valid)[:, None]       # (s,1)
     mu_v = qp_mu_N[None, :]
     d1v, d0v = d1[:, None], d0[:, None]
     safe_d0v = jnp.where(valid, d0, 1.0)[:, None]
@@ -149,11 +160,12 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     iejm = prefv * Zm_I0 * (1.0 / (mu_v / mu0 + d1v / safe_d0v)) * \
         (-_expm1(-(d1v / mu_v + d0v / mu0)))
 
-    att0 = _exp(-_roll0(tau_sum, shift) / mu0)[:, None]
+    att0 = _exp(-src_fn(tau_sum, shift) / mu0)[:, None]
     return ier, iet, iejp * att0, iejm * att0
 
 
-def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts):
+def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts,
+                     src_fn=_roll0):
     """One doubling step of the (starred) ie quantities given the elastic
     starred state of the same step (doubling_inelastic.jl:74-143).
 
@@ -161,7 +173,7 @@ def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts):
     starred elastic quantities; jp/jm are the solar source slot (s, N).
     """
     def per_shift(shift, ier, iet, iejp, iejm):
-        R0 = lambda x: _roll0(x, shift)
+        R0 = lambda x: src_fn(x, shift)
         ek0 = R0(ek)
         j1p = jp * ek[:, None]
         j1m = jm * ek[:, None]
@@ -191,7 +203,7 @@ def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts):
 
 
 def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
-                   shifts) -> IEComposite:
+                   shifts, src_fn=_roll0) -> IEComposite:
     """ie-part of the adding step, derived by the bichromatic product rule
     from kernels.interaction() (behavioral reference
     interaction_inelastic.jl). Elastic comp/add are PRE-interaction states;
@@ -214,7 +226,7 @@ def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
 
     def per_shift(shift, ieR_mp, ieR_pm, ieT_pp, ieT_mm, ieJp, ieJm,
                   ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm):
-        R0 = lambda x: _roll0(x, shift)
+        R0 = lambda x: src_fn(x, shift)
 
         dinv1 = _bmm(inv1, _bmm(_bmm(ier_mp, R0(Rpm_c))
                                 + _bmm(r_a, ieR_pm), R0(inv1)))
@@ -284,7 +296,7 @@ from .types import SolverConfig, SolverInputs, stokes_d_vector
 
 
 def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
-                d_vec, shifts):
+                d_vec, shifts, src_fn=_roll0):
     """Elastic + inelastic doubling (doubling_helper! RRS,
     doubling_inelastic.jl:13-164). Elastic sources are (s, N) solar vectors.
     Returns (AddedLayer with K=1 sources, IEAdded)."""
@@ -310,7 +322,8 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
         tt_gp = _bmm(t, gp)
         # ie update FIRST (uses the pre-update elastic state)
         ier, iet, iejp, iejm = ie_doubling_step(
-            r, t, jp, jm, ek, gp, tt_gp, (ier, iet, iejp, iejm), shifts)
+            r, t, jp, jm, ek, gp, tt_gp, (ier, iet, iejp, iejm), shifts,
+            src_fn)
         # elastic update (rt_helpers.jl:130-166)
         j1p = jp * ek[:, None]
         j1m = jm * ek[:, None]
@@ -344,9 +357,9 @@ def _add_dict(add: _AddedLayer):
             "j0_m": add.j0_m[..., 0]}
 
 
-@_partial(jax.jit, static_argnames=("config",))
+@_partial(jax.jit, static_argnames=("config", "src_fn"))
 def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
-                 shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt):
+                 shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt, src_fn=_roll0):
     """Full RRS solve (reference rt_run(RRS(), model), rt_run.jl:238-539 with
     the inelastic kernels). Returns dict with the elastic R/T and the
     inelastic ieR/ieT (each (nVZA, nStokes, nSpec)).
@@ -399,15 +412,15 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
             lambda sh, w: ie_elemental(sh, w, fscatt_z, dtau, tau_sum_z,
                                        Z_r_pp_m, Z_r_mp_m,
                                        qp_mu_N, wct, mu0, config.i_mu0_start,
-                                       ns, F0, fw)
+                                       ns, F0, fw, src_fn)
         )(shifts, w_shifts)
 
         expk = _exp(-dtau / mu0)
         add, add_ie = doubling_rs(r_mp, t_pp, j_p, j_m, expk, ie_el,
-                                  config.ndoubl, d_vec, shifts)
+                                  config.ndoubl, d_vec, shifts, src_fn)
 
         comp_ie_new = ie_interaction(_comp_dict(comp), _add_dict(add),
-                                     comp_ie, add_ie, shifts)
+                                     comp_ie, add_ie, shifts, src_fn)
         comp_new = _interaction(comp, add)
         return (comp_new, comp_ie_new), None
 
@@ -431,7 +444,7 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
                               tau_sum[nz], mu0, sif0, is_m0, config, dtype)
         add_ie0 = ie_added_zero(n_r, n_spec, N, dtype)
         comp_ie = ie_interaction(_comp_dict(comp), _add_dict(surf),
-                                 comp_ie, add_ie0, shifts)
+                                 comp_ie, add_ie0, shifts, src_fn)
         comp = _interaction(comp, surf)
 
         J0_m = comp.J0_m[..., 0]
@@ -456,12 +469,19 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
     return {"R": R, "T": T, "ieR": ieR, "ieT": ieT}
 
 
-def rt_run_inelastic(model, i_band: int = 0):
-    """User-facing RRS forward run (reference rt_run(RRS(...), model)).
+def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):
+    """User-facing inelastic forward run (reference rt_run(RS_type, model)
+    for RS_type in RRS / VS_0to1 / VS_1to0).
 
-    Returns (R, T, ieR, ieT): the elastic (Cabannes-path) radiance factors
-    and the rotational-Raman inelastic contributions, each
-    (nVZA, nStokes, nSpec). Total radiance = R + ieR.
+    mode="RRS": rotational Raman — every spectral point exchanges with its
+    rotational-line neighborhood (index-shift redistribution).
+    mode="VS_0to1"/"VS_1to0": vibrational Raman — the FIRST grid point is
+    the incident wavelength; the rest of the grid is the scattered band
+    (reference VS convention, elemental_inelastic.jl:279-294). Build such
+    grids with inelastic.vs_setup.vs_band_grid.
+
+    Returns (R, T, ieR, ieT): the elastic radiance factors and the
+    inelastic contributions, each (nVZA, nStokes, nSpec). Total = R + ieR.
     """
     import numpy as np
 
@@ -471,13 +491,29 @@ def rt_run_inelastic(model, i_band: int = 0):
     band = model.bands[i_band]
     inputs, config = model.build_band(i_band, rrs=True)
 
-    shifts, w_shifts, _ = rrs_redistribution(band.nu_grid)
-    if len(shifts) == 0:
-        raise ValueError("spectral grid too narrow/coarse for any rotational-"
-                         "Raman shift (lines span ~ +-200 cm^-1)")
-    # Use the band's Cabannes fraction for the weight normalization so the
-    # elastic + inelastic split is consistent with the elastic path.
-    w_shifts = w_shifts * (1.0 - band.pi_cabannes) / w_shifts.sum()
+    src_fn = _roll0
+    if mode == "RRS":
+        shifts, w_shifts, _ = rrs_redistribution(band.nu_grid)
+        if len(shifts) == 0:
+            raise ValueError(
+                "spectral grid too narrow/coarse for any rotational-"
+                "Raman shift (lines span ~ +-200 cm^-1)")
+        # Use the band's Cabannes fraction for the weight normalization so
+        # the elastic + inelastic split is consistent with the elastic path.
+        w_shifts = w_shifts * (1.0 - band.pi_cabannes) / w_shifts.sum()
+    elif mode in ("VS_0to1", "VS_1to0"):
+        from ..inelastic.vs_setup import vs_redistribution
+        w_targets, _, _ = vs_redistribution(band.nu_grid, mode)
+        if not np.any(w_targets > 0):
+            raise ValueError(
+                f"no {mode} Raman line lands on the scattered band; build "
+                "the grid with vs_setup.vs_band_grid (first point = "
+                "incident wavelength)")
+        shifts = np.zeros(1, dtype=np.int32)      # single fixed-source slot
+        w_shifts = w_targets[None, :]             # (1, nSpec) target weights
+        src_fn = _src_fixed0
+    else:
+        raise ValueError(f"unknown inelastic mode {mode!r}")
 
     pol = model.params.polarization
     gk_r = greek_raman()
@@ -500,6 +536,7 @@ def rt_run_inelastic(model, i_band: int = 0):
 
     out = rt_solve_rrs(inputs, config, jnp.asarray(shifts),
                        jnp.asarray(w_shifts), jnp.asarray(Z_r_pp),
-                       jnp.asarray(Z_r_mp), jnp.asarray(fscatt))
+                       jnp.asarray(Z_r_mp), jnp.asarray(fscatt),
+                       src_fn=src_fn)
     return (np.asarray(out["R"]), np.asarray(out["T"]),
             np.asarray(out["ieR"]), np.asarray(out["ieT"]))
