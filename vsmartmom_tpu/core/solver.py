@@ -38,9 +38,9 @@ def _mixed_omega_Z(scat_w_z, Z_comp, tau_z):
     return num / safe_tau[:, None, None]
 
 
-def _layer_step(comp, layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
-                config: SolverConfig, F0, fourier_w, is_m0, d_vec):
-    """One layer of the vertical scan: elemental -> doubling -> interaction.
+def _make_added_layer(layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
+                      config: SolverConfig, F0, fourier_w, is_m0, d_vec):
+    """Homogeneous-layer operators: elemental -> doubling.
 
     Builds the stacked per-source elemental j vectors: slot 0 solar (SFI),
     slot 1 (when config.n_sources == 2) the per-layer Planck thermal volume
@@ -76,7 +76,12 @@ def _layer_step(comp, layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
         j0_m = jnp.stack([j_sol_m, j_th], axis=-1)
         expk = jnp.stack([expk_sol, jnp.ones_like(expk_sol)], axis=-1)
 
-    add = doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
+    return doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
+
+
+def _layer_step(comp, layer_data, **kw):
+    """One layer of the vertical scan: elemental -> doubling -> interaction."""
+    add = _make_added_layer(layer_data, **kw)
     return interaction(comp, add), None
 
 
