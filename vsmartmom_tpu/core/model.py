@@ -164,7 +164,8 @@ def _surface_m_support(surface: SurfaceDescriptor, stream_l_cap: int) -> int:
 
 
 def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
-                    n_stokes: int, n_m: int, n_spec: int):
+                    n_stokes: int, n_m: int, n_spec: int,
+                    pol=None, nu_grid=None):
     """Build (surf_r, surf_j_m, surf_spec, surf_direct_m).
 
     surf_r[m] is the reflection supermatrix (incl. the m=0 factor 2 and the
@@ -225,6 +226,30 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
         r, j = scalar_brdf_surface_arrays(fn, quad, n_stokes, n_m)
         return r, j, np.ones(n_spec), np.ones(n_m)
 
+    if kind == "CanopySurface":
+        from ..surfaces.canopy import (CanopySurface, canopy_surface_arrays,
+                                       interp_surface_operators)
+        canopy = surface.kwargs.get("_surface_obj")
+        if canopy is None:
+            canopy = CanopySurface(
+                **{k: v for k, v in surface.kwargs.items()
+                   if not k.startswith("_")})
+        soil = canopy.soil
+        soil_r, soil_j, soil_spec, _ = _surface_arrays(
+            soil, quad, n_stokes, n_m, n_spec, pol=pol, nu_grid=nu_grid)
+        if nu_grid is None:
+            nu_grid = np.linspace(0.0, 1.0, n_spec)
+        nodes, R_eff, J_eff = canopy_surface_arrays(
+            canopy, quad, pol, n_m, nu_grid, soil_r, soil_j, soil_spec)
+        # The canopy surface carries no direct-beam j0+ slot at any moment
+        # (canopy_surface.jl:459: added_layer.j0+ .= 0 — the direct beam
+        # terminates at the canopy; its scattered part is inside J_eff).
+        if len(nodes) == 1:
+            # Spectrally constant canopy: squeeze to the (n_m, N, N) path.
+            return R_eff[:, 0], J_eff[:, 0], np.ones(n_spec), np.zeros(n_m)
+        R, J = interp_surface_operators(nodes, R_eff, J_eff, nu_grid)
+        return R, J, np.ones(n_spec), np.zeros(n_m)
+
     raise NotImplementedError(f"Surface type {kind} not yet implemented")
 
 
@@ -280,7 +305,8 @@ class RTModel:
         n_m = m_max + 1
         N = quad.Nquad * ns
         surf_r, surf_j, surf_spec, surf_direct_m = _surface_arrays(
-            band.surface, quad, ns, n_m, n_spec)
+            band.surface, quad, ns, n_m, n_spec, pol=pol,
+            nu_grid=band.nu_grid)
 
         # Phase supermatrices per Fourier moment per scattering component.
         # For RRS runs the elastic path switches Rayleigh -> Cabannes Greek

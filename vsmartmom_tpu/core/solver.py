@@ -101,15 +101,26 @@ def _surface_layer(surf_r_m, surf_j_m, surf_direct_m, surf_spec, F0,
     att = _exp(-tau_sum_boa / mu0)                          # (s,)
     spec = surf_spec
 
-    r_mp = surf_r_m[None] * spec[:, None, None] * jnp.ones((n_spec, 1, 1), dtype)
+    # Spectrally-resolved surface operators (e.g. canopy with spectral leaf
+    # optics) arrive as (n_spec, N, N) / (n_spec, N, ns); spectrally-factored
+    # surfaces as (N, N) x surf_spec.
+    if surf_r_m.ndim == 3:
+        r_mp = surf_r_m * spec[:, None, None]
+    else:
+        r_mp = surf_r_m[None] * spec[:, None, None] \
+            * jnp.ones((n_spec, 1, 1), dtype)
     eye = jnp.broadcast_to(jnp.eye(N, dtype=dtype), (n_spec, N, N))
     zero_m = jnp.zeros((n_spec, N, N), dtype)
 
     j0_p = jnp.zeros((n_spec, N), dtype)
     j0_p = j0_p.at[:, config.i_mu0_start:config.i_mu0_start + config.n_stokes].set(
         (F0 * att[None, :]).T * surf_direct_m)
-    j0_m = jnp.einsum("ik,ks->si", surf_j_m, F0,
-                      precision="highest") * (att * spec)[:, None]
+    if surf_j_m.ndim == 3:
+        j0_m = jnp.einsum("sik,ks->si", surf_j_m, F0,
+                          precision="highest") * (att * spec)[:, None]
+    else:
+        j0_m = jnp.einsum("ik,ks->si", surf_j_m, F0,
+                          precision="highest") * (att * spec)[:, None]
     # Surface SIF: isotropic Lambertian emission into the upwelling source,
     # m = 0 only; factor 2 = (1/pi irradiance->radiance) x (2pi weight undo)
     # (surface_sif.jl:24-34,177).

@@ -176,6 +176,48 @@ def parameters_from_dict(d: dict) -> Parameters:
     spec_bands = [_parse_band(b) for b in rt["spec_bands"]]
     surfaces = [_parse_surface(s) for s in rt["surface"]]
 
+    # Canopy section wraps each per-band surface as soil inside a
+    # CanopySurface (reference IO/Parameters.jl:175-220 _parse_canopy_section).
+    if "canopy" in d:
+        c = d["canopy"]
+        from ..surfaces.canopy import CanopySurface
+        clump = c.get("clumping", 1.0)
+        if isinstance(clump, str):
+            if clump.lower().replace("-", "_") in ("none", "no",
+                                                   "no_clumping", "random"):
+                clump = 1.0
+            else:
+                raise ValueError(f"Unknown canopy clumping string: {clump}")
+        elif isinstance(clump, dict):
+            kind = clump.get("type", "constant").lower().replace("-", "_")
+            if kind in ("none", "no", "no_clumping", "random"):
+                clump = 1.0
+            elif kind in ("constant", "constant_clumping"):
+                clump = float(clump.get("Omega", clump.get("Omega0",
+                              clump.get("value", 1.0))))
+            else:
+                raise ValueError(f"Unsupported canopy clumping: {kind} "
+                                 "(Chen-Leblanc descoped; see canopy.py)")
+        lg = c.get("leaf_optics_grid")
+        soil_spec = c.get("soil", "from_surface")
+        wrapped = []
+        for surf in surfaces:
+            soil = surf if soil_spec == "from_surface" \
+                else _parse_surface(soil_spec)
+            canopy = CanopySurface(
+                soil=soil,
+                LAI=float(c.get("LAI", 3.0)),
+                n_layers=int(c.get("n_layers", 1)),
+                leaf_reflectance=c.get("leaf_reflectance", 0.4),
+                leaf_transmittance=c.get("leaf_transmittance", 0.05),
+                leaf_optics_grid=None if lg is None else np.asarray(
+                    lg, dtype=np.float64),
+                grid_unit=str(c.get("grid_unit", "nm")),
+                clumping_omega=float(clump))
+            wrapped.append(SurfaceDescriptor(
+                "CanopySurface", [], {"_surface_obj": canopy}))
+        surfaces = wrapped
+
     pol_name, _, _ = _parse_ctor(rt.get("polarization_type", "Stokes_I()"))
     polarization = polarization_from_name(pol_name)
 
