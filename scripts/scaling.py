@@ -1,0 +1,91 @@
+"""Weak-scaling harness: spectral points/s vs device count.
+
+Weak scaling: per-device spectral width held constant while the mesh grows;
+efficiency(n) = throughput(n) / (n * throughput(1)). BASELINE.json's north
+star is >= 85% from 1 to N hosts.
+
+On a single-host machine this runs against virtual CPU devices
+(--xla_force_host_platform_device_count) — the collective/sharding program
+is identical to the real multi-chip TPU build; absolute times are not TPU
+times but the scaling shape (and any accidental cross-shard serialization)
+is real.
+
+Usage: python scripts/scaling.py [--devices 1 2 4 8] [--per-device 512]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--per-device", type=int, default=512)
+    ap.add_argument("--nstreams", type=int, default=8)
+    ap.add_argument("--platform", default=None,
+                    help="cpu (virtual mesh) or leave unset for default")
+    args = ap.parse_args()
+
+    max_dev = max(args.devices)
+    if args.platform == "cpu" or args.platform is None:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max_dev}"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_model
+    from vsmartmom_tpu.core.solver import rt_solve
+    from vsmartmom_tpu.parallel.sharding import shard_inputs, spectral_mesh
+
+    devices = jax.devices()
+    print(f"# platform={devices[0].platform} n_devices={len(devices)} "
+          f"per_device_nspec={args.per_device}", flush=True)
+
+    results = {}
+    for n_dev in args.devices:
+        if n_dev > len(devices):
+            print(f"# skip n={n_dev}: only {len(devices)} devices")
+            continue
+        n_spec = args.per_device * n_dev
+        model = _flagship_model(n_spec=n_spec, dtype=np.float32,
+                                nstreams=args.nstreams)
+        inputs, config = model.build_band(0)
+        mesh = spectral_mesh(devices[:n_dev])
+        sharded = shard_inputs(inputs, mesh)
+        fn = jax.jit(lambda x: rt_solve(x, config)["R"])
+        fn(sharded).block_until_ready()          # compile
+
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(sharded).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        pts = n_spec / dt
+        results[n_dev] = pts
+        eff = pts / (n_dev * results[min(results)]) if results else 1.0
+        print(f"n_dev={n_dev:3d} nSpec={n_spec:6d} t={dt*1e3:9.2f} ms "
+              f"{pts:12.0f} pts/s  weak-eff={eff*100:6.1f}%", flush=True)
+
+    base = results.get(min(results), None)
+    if base and len(results) > 1:
+        n_max = max(results)
+        eff = results[n_max] / (n_max / min(results) * base)
+        print(json.dumps({"metric": "weak_scaling_efficiency",
+                          "value": round(eff, 4),
+                          "devices": sorted(results),
+                          "points_per_s": {str(k): round(v, 1)
+                                           for k, v in results.items()}}))
+
+
+if __name__ == "__main__":
+    main()

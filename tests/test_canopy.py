@@ -100,16 +100,20 @@ class TestCanopyRT:
         assert np.all(R_c < R_soil)
 
     def test_energy_conservation_white_canopy(self):
-        """Non-absorbing leaves (omega = 1) over unit-albedo soil in a
-        conservative Rayleigh atmosphere: BOA-incident energy is fully
-        returned -> BHR_up ~ mu0 (the TOA normalization of bhr)."""
+        """Non-absorbing leaves (omega = 1) over unit-albedo soil: the
+        conservative surface returns all BOA-incident energy, so the
+        upwelling BOA flux equals the total (direct + diffuse) downwelling
+        BOA flux. (It does NOT equal mu0: with a reflecting surface under a
+        scattering atmosphere, photons cross the BOA plane multiple times.)
+        """
         soil = SurfaceDescriptor("LambertianSurfaceScalar", [1.0])
         model = _run(_canopy_desc(soil=soil, LAI=3.0,
                                   leaf_reflectance=0.5,
                                   leaf_transmittance=0.5))
         out = rt_run_full(model)
+        np.testing.assert_allclose(out["bhr_uw"], out["bhr_dw"], rtol=2e-3)
         mu0 = model.quad.qp_mu[model.quad.i_mu0]
-        np.testing.assert_allclose(out["bhr_uw"], mu0, rtol=2e-3)
+        assert np.all(out["bhr_uw"] > mu0)   # multiple-crossing enhancement
 
     def test_clumping_reduces_effective_lai(self):
         """Omega < 1 -> less projected leaf area -> closer to the soil."""

@@ -20,6 +20,8 @@ from vsmartmom_tpu.scattering.mie import (Aerosol, AerosolOptics,
                                           reconstruct_phase,
                                           truncate_phase_delta_bge,
                                           truncate_phase_none)
+from vsmartmom_tpu.scattering.pcw import \
+    compute_aerosol_optical_properties_pcw
 
 DATA = os.path.join(os.path.dirname(__file__), "data",
                     "pcw_aerosol_optics.npz")
@@ -67,6 +69,42 @@ class TestPCWTruth:
         mine = getattr(computed.greek_coefs, name)
         assert len(mine) == len(truth)
         assert np.abs(mine - truth).max() < 1e-3
+
+
+class TestPCWInRepo:
+    """The PCW (Wigner) decomposition itself (scattering/pcw.py) — the
+    NAI2 == PCW identity is exact, so the gate here is far tighter than the
+    reference's atol 1e-3 (test_Scattering.jl "aerosol_optics")."""
+
+    def test_nai2_equals_pcw(self):
+        aero = Aerosol(SizeDistribution(np.log(0.1), np.log(1.5)), 1.4, 0.003)
+        nai2 = compute_aerosol_optical_properties(aero, 0.55, 2.0, 300)
+        pcw = compute_aerosol_optical_properties_pcw(aero, 0.55, 2.0, 300)
+        assert np.isclose(nai2.ssa, pcw.ssa, rtol=1e-12)
+        assert np.isclose(nai2.k, pcw.k, rtol=1e-12)
+        for name in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta"):
+            a = getattr(nai2.greek_coefs, name)
+            b = getattr(pcw.greek_coefs, name)
+            L = min(len(a), len(b))
+            assert np.abs(a[:L] - b[:L]).max() < 1e-10, name
+            # any tail beyond the common support must be noise-level
+            assert np.abs(a[L:]).max(initial=0.0) < 1e-10, name
+            assert np.abs(b[L:]).max(initial=0.0) < 1e-10, name
+
+    def test_wigner_tables_roundtrip(self, tmp_path):
+        from vsmartmom_tpu.scattering.wigner import (compute_wigner_values,
+                                                     load_wigner_values,
+                                                     save_wigner_values)
+        A, B = compute_wigner_values(6)
+        assert A.shape == (13, 7, 13)
+        # spot values against exact rationals:
+        # 3j(1,1,0; -1,1,0) = 1/sqrt(3); 3j(2,2,2; -1,-1,2) = -sqrt(3/35)
+        assert np.isclose(A[0, 0, 0], 1 / np.sqrt(3))
+        assert np.isclose(B[1, 1, 2], -np.sqrt(3.0 / 35.0))
+        p = tmp_path / "wigner.npz"
+        save_wigner_values(p, A, B)
+        A2, B2 = load_wigner_values(p)
+        assert np.array_equal(A, A2) and np.array_equal(B, B2)
 
 
 class TestAnalyticPhase:

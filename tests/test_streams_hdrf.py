@@ -67,8 +67,9 @@ class TestHDRFBHR:
         relations; for albedo a, bhr_uw = a * bhr_dw (Lambertian)."""
         for albedo in (0.0, 0.3):
             model = _model(albedo=albedo)
-            R, T, hdr, bhr_uw, bhr_dw = rt_run_full(model)
-            assert np.allclose(bhr_uw, albedo * bhr_dw, rtol=1e-8), albedo
+            out = rt_run_full(model)
+            assert np.allclose(out["bhr_uw"], albedo * out["bhr_dw"],
+                               rtol=1e-8), albedo
 
     def test_bhr_dw_closes_energy(self):
         """Black surface: (reflected TOA flux) + (bhr_dw at BOA) = mu0."""
@@ -86,5 +87,5 @@ class TestHDRFBHR:
         """For a Lambertian surface the hdr output is the surface-leaving
         radiance; with zero albedo it vanishes."""
         model = _model(albedo=0.0)
-        _, _, hdr, _, _ = rt_run_full(model)
+        hdr = rt_run_full(model)["hdr"]
         assert np.abs(hdr).max() < 1e-14

@@ -32,8 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .kernels import (MATMUL_PRECISION, _bmm, _bsolve, _exp, _expm1,
-                      expdiff_neg)
+from .kernels import MATMUL_PRECISION, _bmm, _bsolve, _exp, _expm1
 
 
 def _roll0(x, shift):
@@ -107,23 +106,28 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     ratio = (d1 / safe_d0)[:, None, None]         # (s,1,1)
     pref = (w_rr * fsc0 * valid)[:, None, None]
 
+    # f64 transcendentals only on (s, N)/(s,) precursors (see kernels.py
+    # elemental: the (s, N, N) f64-exp form ran ~400x below roofline on TPU).
+    Em1_1 = _expm1(-d1[:, None] / qp_mu_N[None, :])        # (s, N)
+    Em1_0 = _expm1(-d0[:, None] / qp_mu_N[None, :])        # (s, N)
+    E_0 = 1.0 + Em1_0                                      # exp(-d0/mu)
+
+    # 1 - E1_i E0_j = -(Em1_1_i + Em1_0_j + Em1_1_i Em1_0_j) — same-sign sum
+    one_m_EE = -(Em1_1[:, :, None] + Em1_0[:, None, :]
+                 + Em1_1[:, :, None] * Em1_0[:, None, :])
     ier = (pref * Z_mp_r[None] * wct[None, None, :]
-           * (1.0 / (mu_i / mu_j + ratio))
-           * (-_expm1(-(d1[:, None, None] / mu_i + d0[:, None, None] / mu_j))))
+           * (1.0 / (mu_i / mu_j + ratio)) * one_m_EE)
 
-    same_mu = jnp.abs(mu_i - mu_j) <= 1e-6 * jnp.maximum(mu_i, mu_j)
-    ediff = expdiff_neg(d1[:, None, None] / mu_i, d0[:, None, None] / mu_j)
+    # Transmission: the reference's three-way degeneracy dance
+    # (same-mu / same-dtau / generic, elemental_inelastic.jl:150-206)
+    # collapses into ONE well-conditioned kernel:
+    #   ediff / gen = E0_j (d0/mu_i) expm1(x)/x,  x = d0/mu_j - d1/mu_i
+    # since ediff = E0_j expm1(x) and gen = x mu_i/d0 exactly. expm1(x)/x -> 1
+    # as x -> 0 covers every degenerate limit smoothly.
     base = pref * Z_pp_r[None] * wct[None, None, :]
-    degen_t = base * (d0[:, None, None] / mu_i) * _exp(-d0[:, None, None] / mu_j)
-
-    deg_same = (jnp.abs(d0 - d1) <= 1e-6)[:, None, None]
-    t_same = jnp.where(deg_same, degen_t,
-                       base * ediff / jnp.where(deg_same, 1.0, 1.0 - ratio))
-    gen_ratio = mu_i / mu_j - ratio
-    deg_gen = jnp.abs(gen_ratio) < 1e-8
-    t_gen = jnp.where(deg_gen, degen_t,
-                      base * ediff / jnp.where(deg_gen, 1.0, gen_ratio))
-    iet = jnp.where(same_mu[None], t_same, t_gen)
+    x = d0[:, None, None] / mu_j - d1[:, None, None] / mu_i
+    xr = jnp.where(x == 0.0, 1.0, jnp.expm1(x) / jnp.where(x == 0.0, 1.0, x))
+    iet = base * (d0[:, None, None] / mu_i) * E_0[:, None, :] * xr
 
     # SFI sources: incident-wavelength quantities at n0
     ns = n_stokes
@@ -137,28 +141,22 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     prefv = fourier_w * (w_rr * fsc0 * valid)[:, None]       # (s,1)
     mu_v = qp_mu_N[None, :]
     d1v, d0v = d1[:, None], d0[:, None]
-    safe_d0v = jnp.where(valid, d0, 1.0)[:, None]
     in_block = ((jnp.arange(qp_mu_N.shape[0]) >= i_mu0_start)
                 & (jnp.arange(qp_mu_N.shape[0]) < i_mu0_start + ns)) | \
-        (jnp.abs(qp_mu_N - mu0) <= 1e-6 * mu0)
+        (jnp.abs(qp_mu_N - mu0) <= 1e-9 * mu0)
 
-    degen_s = prefv * Zp_I0 * (d0v / mu_v) * _exp(-d0v / mu0)
-    deg_b = (jnp.abs(d0 - d1) <= 1e-8)[:, None]
-    jp_in = jnp.where(
-        deg_b,
-        prefv * Zp_I0 * (d0v / mu_v) * _exp(-d0v / mu_v),
-        prefv * Zp_I0 * expdiff_neg(d1v / mu_v, d0v / mu_v)
-        / jnp.where(deg_b, 1.0, 1.0 - d1v / safe_d0v))
-    gen_s = mu_v / mu0 - d1v / safe_d0v
-    deg_s = jnp.abs(gen_s) < 1e-8
-    jp_out = jnp.where(
-        deg_s, degen_s,
-        prefv * Zp_I0 * expdiff_neg(d1v / mu_v, d0v / mu0)
-        / jnp.where(deg_s, 1.0, gen_s))
-    iejp = jnp.where(in_block[None, :], jp_in, jp_out)
+    # Same unified kernel for the beam source; the source direction is mu_v
+    # inside the solar block, mu0 outside.
+    Em1_00 = _expm1(-d0 / mu0)                    # (s,)
+    mu_s = jnp.where(in_block, qp_mu_N, mu0)[None, :]
+    E0_s = jnp.where(in_block[None, :], E_0, (1.0 + Em1_00)[:, None])
+    y = d0v / mu_s - d1v / mu_v
+    yr = jnp.where(y == 0.0, 1.0, jnp.expm1(y) / jnp.where(y == 0.0, 1.0, y))
+    iejp = prefv * Zp_I0 * (d0v / mu_v) * E0_s * yr
 
-    iejm = prefv * Zm_I0 * (1.0 / (mu_v / mu0 + d1v / safe_d0v)) * \
-        (-_expm1(-(d1v / mu_v + d0v / mu0)))
+    one_m_EE0 = -(Em1_1 + Em1_00[:, None] + Em1_1 * Em1_00[:, None])
+    iejm = prefv * Zm_I0 * (1.0 / (mu_v / mu0 + d1v / safe_d0[:, None])) * \
+        one_m_EE0
 
     att0 = _exp(-src_fn(tau_sum, shift) / mu0)[:, None]
     return ier, iet, iejp * att0, iejm * att0

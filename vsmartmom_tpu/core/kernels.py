@@ -138,26 +138,41 @@ def elemental(omega_Z_pp, omega_Z_mp, dtau, tau_sum, qp_mu_N, wt_mu_N,
     mu_i = qp_mu_N[:, None]                      # (N, 1)
     mu_j = qp_mu_N[None, :]                      # (1, N)
     wct = fourier_w * wt_mu_N[None, :]           # scaled weights wt/2 or wt/4
-    d = dtau[:, None, None]                      # (s, 1, 1)
+
+    # PRECISION/PERF DESIGN: f64 (software-emulated on TPU) transcendentals
+    # are ~100x VPU cost, so they are evaluated only on the small (s, N)/(s,)
+    # precursor arrays; every (s, N, N) factor is then assembled from them
+    # with cancellation-free algebra in the working dtype (measured: the
+    # previous (s, N, N) f64-exp formulation ran the whole solve at 0.09
+    # TF/s on TPU v5e — ~400x below roofline).
+    Em1 = _expm1(-dtau[:, None] / qp_mu_N[None, :])        # (s, N), f64-acc
+    E = 1.0 + Em1                                          # exp(-dtau/mu)
+    d = dtau[:, None, None]                                # (s, 1, 1)
 
     # r-+(i,j) = wZ-+(i,j) (mu_j/(mu_i+mu_j)) w_j (1 - e^{-dtau(1/mu_i+1/mu_j)})
+    # 1 - E_i E_j = -(Em1_i + Em1_j + Em1_i Em1_j): all same-sign terms, no
+    # cancellation.
     r_geom = (mu_j / (mu_i + mu_j)) * wct
-    r_mp = omega_Z_mp * r_geom[None] * (-_expm1(-d * (1.0 / mu_i + 1.0 / mu_j)))
+    one_m_EE = -(Em1[:, :, None] + Em1[:, None, :]
+                 + Em1[:, :, None] * Em1[:, None, :])
+    r_mp = omega_Z_mp * r_geom[None] * one_m_EE
 
-    # t++: off-diagonal (mu_i != mu_j) vs same-mu limits. The same-mu test is
-    # tolerance-based: nearly-coincident nodes (e.g. a user VZA cosine within
-    # rounding of a Gauss node) must take the L'Hopital branch or the
-    # mu_j/(mu_i - mu_j) factor amplifies roundoff catastrophically.
-    same_mu = jnp.abs(mu_i - mu_j) <= 1e-6 * jnp.maximum(mu_i, mu_j)
-    denom = jnp.where(same_mu, 1.0, mu_i - mu_j)
-    t_geom = (mu_j / denom) * wct
-    t_off = omega_Z_pp * t_geom[None] * expdiff_neg(d / mu_i, d / mu_j)
+    # t++ off-diagonal: (mu_j/(mu_i-mu_j)) (e^{-d/mu_i} - e^{-d/mu_j})
+    #   = (mu_j/delta) E_j expm1(d delta / (mu_i mu_j)),  delta = mu_i - mu_j
+    # — the expm1 argument is proportional to delta, so the quotient is
+    # well-conditioned for ANY node spacing (no catastrophic cancellation;
+    # replaces the old expdiff_neg + tolerance dance). The exact-equal case
+    # still needs the L'Hopital branch only to avoid 0/0.
+    same_mu = jnp.abs(mu_i - mu_j) <= 1e-9 * jnp.maximum(mu_i, mu_j)
+    delta = jnp.where(same_mu, 1.0, mu_i - mu_j)
+    ratio = jnp.expm1(d * (delta / (mu_i * mu_j))[None]) / delta[None]
+    t_off = omega_Z_pp * (mu_j * wct)[None] * E[:, None, :] * ratio
 
-    # same-mu limit (L'Hopital): exp(-dtau/mu_j) * wZ++ * (dtau/mu_i) * w_j,
+    # same-mu limit: exp(-dtau/mu_j) * wZ++ * (dtau/mu_i) * w_j,
     # plus the pure Beer-law term on the true diagonal.
-    t_same = _exp(-d / mu_j) * omega_Z_pp * (d / mu_i) * wct[None]
+    t_same = E[:, None, :] * omega_Z_pp * (d / mu_i) * wct[None]
     eye = jnp.eye(omega_Z_pp.shape[-1], dtype=dtype)
-    beer = _exp(-d / mu_i) * eye[None]
+    beer = E[:, :, None] * eye[None]
     t_pp = jnp.where(same_mu[None], t_same + beer, t_off)
 
     # Solar source vectors (get_elem_rt_SFI!, elemental.jl:348-392).
@@ -171,20 +186,22 @@ def elemental(omega_Z_pp, omega_Z_mp, dtau, tau_sum, qp_mu_N, wt_mu_N,
 
     dt = dtau[:, None]                            # (s, 1)
     mu_v = qp_mu_N[None, :]                       # (1, N)
-    # The in-block (mu_i == mu0) branch also covers nodes merely *near* mu0
-    # (same roundoff-amplification hazard as same_mu above).
+    Em1_0 = _expm1(-dtau / mu0)                   # (s,), f64-accurate
+    E_0 = (1.0 + Em1_0)[:, None]
     in_block = ((jnp.arange(qp_mu_N.shape[0]) >= i_mu0_start) &
                 (jnp.arange(qp_mu_N.shape[0]) < i_mu0_start + ns)) | \
-        (jnp.abs(qp_mu_N - mu0) <= 1e-6 * mu0)
+        (jnp.abs(qp_mu_N - mu0) <= 1e-9 * mu0)
     # In-block (mu_i == mu0): J0+ = w02 wZ++I0 (dtau/mu0) e^{-dtau/mu0}
-    jp_in = fourier_w * Zp_I0 * (dt / mu_v) * _exp(-dt / mu_v)
-    # Out-of-block: J0+ = w02 wZ++I0 (mu0/(mu_i - mu0)) expdiff(dtau/mu_i, dtau/mu0)
-    denom_s = jnp.where(in_block[None, :], 1.0, mu_v - mu0)
-    jp_out = fourier_w * Zp_I0 * (mu0 / denom_s) * expdiff_neg(dt / mu_v, dt / mu0)
+    jp_in = fourier_w * Zp_I0 * (dt / mu_v) * E[:, :]
+    # Out-of-block: (mu0/(mu_v-mu0)) (e^{-dt/mu_v} - e^{-dt/mu0})
+    #   = (mu0/delta_s) E_0 expm1(dt delta_s / (mu_v mu0))
+    delta_s = jnp.where(in_block, 1.0, qp_mu_N - mu0)[None, :]
+    jp_out = fourier_w * Zp_I0 * (mu0 / delta_s) * E_0 * \
+        jnp.expm1(dt * delta_s / (mu_v * mu0))
     j0_p = jnp.where(in_block[None, :], jp_in, jp_out)
     # J0- = w02 wZ-+I0 (mu0/(mu_i + mu0)) (1 - e^{-dtau(1/mu_i + 1/mu0)})
-    j0_m = fourier_w * Zm_I0 * (mu0 / (mu_v + mu0)) * \
-        (-_expm1(-dt * (1.0 / mu_v + 1.0 / mu0)))
+    one_m_EE0 = -(Em1 + Em1_0[:, None] + Em1 * Em1_0[:, None])
+    j0_m = fourier_w * Zm_I0 * (mu0 / (mu_v + mu0)) * one_m_EE0
 
     att = _exp(-tau_sum / mu0)[:, None]           # beam attenuation above layer
     j0_p = j0_p * att

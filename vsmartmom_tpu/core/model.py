@@ -235,20 +235,25 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
                 **{k: v for k, v in surface.kwargs.items()
                    if not k.startswith("_")})
         soil = canopy.soil
-        soil_r, soil_j, soil_spec, _ = _surface_arrays(
+        soil_r, soil_j, soil_spec, soil_direct = _surface_arrays(
             soil, quad, n_stokes, n_m, n_spec, pol=pol, nu_grid=nu_grid)
         if nu_grid is None:
             nu_grid = np.linspace(0.0, 1.0, n_spec)
         nodes, R_eff, J_eff = canopy_surface_arrays(
             canopy, quad, pol, n_m, nu_grid, soil_r, soil_j, soil_spec)
-        # The canopy surface carries no direct-beam j0+ slot at any moment
-        # (canopy_surface.jl:459: added_layer.j0+ .= 0 — the direct beam
-        # terminates at the canopy; its scattered part is inside J_eff).
+        # Direct-beam j0+ slot: canopy-TOP bookkeeping — the composite
+        # canopy+soil operators (R_eff/J_eff) act at the canopy top, so BOA
+        # outputs (T, bhr_dw) are the fields at canopy top and the direct
+        # slot keeps the soil surface's mask with the full above-canopy
+        # attenuation only. This makes LAI -> 0 reduce continuously to bare
+        # soil and gives the conservative-surface invariant
+        # bhr_uw == bhr_dw. (canopy_surface.jl:459 zeroes the slot instead —
+        # there the canopy slab itself carries the beam.)
         if len(nodes) == 1:
             # Spectrally constant canopy: squeeze to the (n_m, N, N) path.
-            return R_eff[:, 0], J_eff[:, 0], np.ones(n_spec), np.zeros(n_m)
+            return R_eff[:, 0], J_eff[:, 0], np.ones(n_spec), soil_direct
         R, J = interp_surface_operators(nodes, R_eff, J_eff, nu_grid)
-        return R, J, np.ones(n_spec), np.zeros(n_m)
+        return R, J, np.ones(n_spec), soil_direct
 
     raise NotImplementedError(f"Surface type {kind} not yet implemented")
 

@@ -245,24 +245,20 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     return out
 
 
-def rt_run(model):
-    """User-facing forward run on an RTModel (reference rt_run.jl:53).
+def rt_run_full(model):
+    """Forward run returning every reference output (rt_run.jl:535 minus the
+    inelastic slots — see inelastic.rt_run_inelastic for ieR/ieT) as a dict
+    with keys R, T, hdr, bhr_uw, bhr_dw, each concatenated over bands.
 
-    Returns (R, T) with shape (nVZA, n_stokes, nSpec_total) concatenated over
-    bands, as radiance factors I/F0 (SFI outputs of the reference). Cox-Munk
-    surfaces get the TMS single-scatter glint correction applied post-Fourier
-    (rt_run.jl:519-524).
+    One rt_solve per band computes all outputs (the solver already carries
+    hdr/bhr through the Fourier scan). Cox-Munk surfaces get the TMS
+    single-scatter glint correction applied post-Fourier (rt_run.jl:519-524).
     """
-    Rs, Ts = [], []
-    hdrs, bhr_uws, bhr_dws = [], [], []
+    acc = {k: [] for k in ("R", "T", "hdr", "bhr_uw", "bhr_dw")}
     for i_band, band in enumerate(model.bands):
         inputs, config = model.build_band(i_band)
         out = rt_solve(inputs, config)
         R = np.asarray(out["R"])
-        T = np.asarray(out["T"])
-        hdrs.append(np.asarray(out["hdr"]))
-        bhr_uws.append(np.asarray(out["bhr_uw"]))
-        bhr_dws.append(np.asarray(out["bhr_dw"]))
         if band.surface.kind == "CoxMunkSurface":
             from ..surfaces.coxmunk import CoxMunkSurface, tms_correction
             surf = CoxMunkSurface(**{k: v for k, v in band.surface.kwargs.items()
@@ -271,25 +267,20 @@ def rt_run(model):
             R = R + tms_correction(surf, config.n_stokes, model.params.vza,
                                    model.params.vaz, model.quad.mu0,
                                    tau_total, config.m_max)
-        Rs.append(R)
-        Ts.append(T)
-    return np.concatenate(Rs, axis=-1), np.concatenate(Ts, axis=-1)
+        acc["R"].append(R)
+        for k in ("T", "hdr", "bhr_uw", "bhr_dw"):
+            acc[k].append(np.asarray(out[k]))
+    return {k: np.concatenate(v, axis=-1) for k, v in acc.items()}
 
 
-def rt_run_full(model):
-    """Forward run returning the full reference output tuple
-    (R_SFI, T_SFI, hdr, bhr_uw, bhr_dw) — rt_run.jl:535 minus the inelastic
-    slots (see inelastic.rt_run_inelastic for ieR/ieT)."""
-    R, T = rt_run(model)
-    hdrs, uws, dws = [], [], []
-    for i_band in range(len(model.bands)):
-        inputs, config = model.build_band(i_band)
-        out = rt_solve(inputs, config)
-        hdrs.append(np.asarray(out["hdr"]))
-        uws.append(np.asarray(out["bhr_uw"]))
-        dws.append(np.asarray(out["bhr_dw"]))
-    return (R, T, np.concatenate(hdrs, axis=-1),
-            np.concatenate(uws, axis=-1), np.concatenate(dws, axis=-1))
+def rt_run(model):
+    """User-facing forward run on an RTModel (reference rt_run.jl:53).
+
+    Returns (R, T) with shape (nVZA, n_stokes, nSpec_total) concatenated over
+    bands, as radiance factors I/F0 (SFI outputs of the reference).
+    """
+    out = rt_run_full(model)
+    return out["R"], out["T"]
 
 
 def rt_run_streams(model, i_band: int = 0):

@@ -8,21 +8,56 @@ interaction, batched over the spectral axis.
 
 Backend policy:
 * CPU: ``jnp.linalg.solve`` (LAPACK batched LU, full precision).
-* TPU: XLA's LuDecomposition only implements F32/C64 *and* runs its internal
-  dot_generals at default (bf16-pass) MXU precision, which costs ~1e-3
-  relative error — visible at the 1% level after 20+ Fourier moments of
-  accumulation. We therefore always wrap the factorization in
-  mixed-precision iterative refinement (Wilkinson): LU once, then
-  ``x += LU_solve(b - A x)`` with the residual computed at
-  ``precision="highest"`` in the working dtype. The systems here are
-  diagonally-dominant-by-construction ``I - R R`` with spectral
-  radius(R R) < 1 (energy conservation), so a fixed small iteration count
-  converges to working-dtype roundoff (f32: 2 iters; f64: 4 iters).
+* TPU: GEMM-only Newton-Schulz inverse + defect correction (``ns_solve``).
+  XLA's LuDecomposition/TriangularSolve lower to *sequential* length-N inner
+  loops of tiny dynamic-slice ops — measured ~6 ms per batched (s, 52, 52)
+  solve on TPU v5e, 100x the cost of the GEMMs around it (the round-1 full
+  solve spent 26 s in 5280 such solves). The RT systems are all
+  ``A = I - S`` with spectral radius rho(S) < 1 (products of reflection
+  operators; energy conservation), exactly the class where Newton-Schulz
+  converges quadratically from the Neumann seed M0 = I + S:
+  ``||I - M_k A|| = rho^(2^(k+1))``, so 6 iterations reach rho^128
+  (rho = 0.8 -> 4e-13) and each defect-correction step contracts by that
+  factor again. Everything is batched matmuls at precision="highest" — pure
+  MXU work.
 """
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+#: Newton-Schulz iteration count: ||I - M A|| = rho^(2^(k+1)) after k iters.
+NS_ITERS = 6
+#: Defect-correction steps applied to the solution (each costs 2 GEMMs and
+#: contracts the error by ||I - M A||).
+NS_REFINE = 2
+
+
+def ns_solve(a, b, ns_iters: int = NS_ITERS, refine: int = NS_REFINE):
+    """GEMM-only batched solve of a @ x = b for a = I - S, rho(S) < 1.
+
+    a: (..., n, n), b: (..., n, k). Works in a.dtype on the MXU; no LU, no
+    triangular solves, no sequential inner loops.
+    """
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    two_eye = 2.0 * eye
+
+    def mm(x, y):
+        return jnp.matmul(x, y, precision="highest")
+
+    m = two_eye - a                       # = I + S, the 2-term Neumann seed
+
+    def ns_step(_, m):
+        return mm(m, two_eye - mm(a, m))
+
+    m = lax.fori_loop(0, ns_iters, ns_step, m)
+    x = mm(m, b)
+
+    def refine_step(_, x):
+        return x + mm(m, b - mm(a, x))
+
+    return lax.fori_loop(0, refine, refine_step, x)
 
 
 def _lu_solve_f32(lu, perm, b32):
@@ -55,7 +90,8 @@ def refined_solve(a, b, iters: int | None = None):
 
 def batch_solve(a, b):
     """Batched solve a @ x = b, choosing the fastest correct path for the
-    current backend/dtype."""
+    current backend/dtype. The non-CPU path assumes the RT structure
+    a = I - S with rho(S) < 1 (every call site in this package)."""
     if jax.default_backend() == "cpu":
         return jnp.linalg.solve(a, b)
-    return refined_solve(a, b)
+    return ns_solve(a, b)

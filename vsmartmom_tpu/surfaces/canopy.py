@@ -114,7 +114,13 @@ class CanopySurface:
     grid_unit: str = "nm"
     clumping_omega: float = 1.0     # ConstantClumping Omega (1 = no clumping)
     n_coarse: int = 7               # coarse spectral nodes for Z cache
-    dtau_max: float = 1e-3          # canopy sublayer doubling target
+    # Canopy sublayer doubling target. The exact-single-scatter elemental
+    # truncates multiple scattering within d_tau, an O(d_tau) *total* energy
+    # error after composing tau_c/d_tau slabs (measured: 0.6% leak at
+    # d_tau = 7e-4, halving per doubling). 2e-5 keeps closure ~< 1e-4 while
+    # adding only ~6 doublings — the canopy build is per-moment host work,
+    # not the hot path.
+    dtau_max: float = 2e-5
 
     def leaf_grid_wn(self) -> Optional[np.ndarray]:
         if self.leaf_optics_grid is None:
@@ -195,10 +201,11 @@ def canopy_surface_arrays(canopy: CanopySurface, quad, pol, n_m: int,
     ndoubl = 0 if tau_sub <= canopy.dtau_max else \
         int(np.ceil(np.log2(tau_sub / canopy.dtau_max)))
 
-    l_max = max(n_m + 1, 3)
-    # Stream cap: the Z build needs l <= 2*Nquad-1 resolvable moments; use
-    # a generous series (the phase is smooth) capped for cost.
-    l_max = max(l_max, min(2 * quad.Nquad + 8, 64))
+    # Cap the Greek series at the stream limit 2*Nstreams - 1 (the same
+    # contract aerosols get via delta-truncation, rt_set_streams.jl:25-47):
+    # the weighted Gauss nodes can only integrate moments up to that order,
+    # so a longer series breaks discrete energy closure.
+    l_max = min(max(n_m + 1, 3), 2 * quad.Nstreams - 1)
 
     d_vec = jnp.asarray(stokes_d_vector(ns, quad.Nquad), jnp.float64)
     # Unit incident Stokes beams, batched: F0[:, node*ns + k] = e_k
