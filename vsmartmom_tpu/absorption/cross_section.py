@@ -111,9 +111,69 @@ def _line_sum(grid, nu, gamma_d, gamma_l, y, S, wing_cutoff,
     return acc
 
 
+def _profile(dx, gd_c, gl_c, y_c, S_c, broadening, cef_fn):
+    """Line-shape values S * phi(dx) for a (chunk, W) block."""
+    if broadening == "Voigt":
+        z = SQRT_LN2 / gd_c * dx + 1j * y_c
+        return S_c * SQRT_LN2_PI / gd_c * cef_fn(z).real
+    if broadening == "Lorentz":
+        return S_c * gl_c / (jnp.pi * (gl_c ** 2 + dx ** 2))
+    return S_c * SQRT_LN2_PI / gd_c * \
+        jnp.exp(-np.log(2.0) * (dx / gd_c) ** 2)
+
+
+@partial(jax.jit, static_argnames=("broadening", "cef", "n_chunks", "W",
+                                   "n_grid"))
+def _line_sum_windowed(grid0, dnu, n_grid: int, nu, gamma_d, gamma_l, y, S,
+                       wing_cutoff, broadening: str, cef: str,
+                       n_chunks: int, W: int):
+    """Windowed line sum on a UNIFORM grid: each line evaluates its profile
+    only on the W grid points covering [nu - cutoff, nu + cutoff] and
+    scatter-adds into the spectrum — O(nLines * W) instead of
+    O(nLines * nGrid) (the reference's per-line index ranges,
+    compute_absorption_cross_section.jl:100-154, as an XLA scatter-add).
+    """
+    chunk = nu.shape[0] // n_chunks
+    xs = tuple(a.reshape(n_chunks, chunk) for a in (nu, gamma_d, gamma_l, y, S))
+    cef_fn = CEFS[cef]
+    offs = jnp.arange(W, dtype=jnp.int32)
+
+    def body(acc, xs_c):
+        nu_c, gd_c, gl_c, y_c, S_c = (a[:, None] for a in xs_c)
+        start = jnp.floor((nu_c - wing_cutoff - grid0) / dnu).astype(jnp.int32)
+        idx = start + offs[None, :]                     # (chunk, W)
+        in_grid = (idx >= 0) & (idx < n_grid)
+        idx_c = jnp.clip(idx, 0, n_grid - 1)
+        dx = grid0 + idx_c * dnu - nu_c
+        prof = _profile(dx, gd_c, gl_c, y_c, S_c, broadening, cef_fn)
+        prof = jnp.where(in_grid & (jnp.abs(dx) <= wing_cutoff), prof, 0.0)
+        return acc.at[idx_c.ravel()].add(prof.ravel()), None
+
+    acc0 = jnp.zeros(n_grid, dtype=nu.dtype)
+    acc, _ = jax.lax.scan(body, acc0, xs)
+    return acc
+
+
+def _uniform_spacing(grid) -> Optional[float]:
+    """Grid spacing if uniform (to 1e-9 relative), else None."""
+    if len(grid) < 2:
+        return None
+    d = np.diff(grid)
+    d0 = d[0]
+    if d0 <= 0 or np.abs(d - d0).max() > 1e-9 * abs(d0) + 1e-12:
+        return None
+    return float(d0)
+
+
 def compute_absorption_cross_section(model: HitranModel, grid, pressure,
-                                     temperature) -> np.ndarray:
-    """Cross-section [cm^2/molecule] on ``grid`` [cm^-1] at (p [hPa], T [K])."""
+                                     temperature,
+                                     force_dense: bool = False) -> np.ndarray:
+    """Cross-section [cm^2/molecule] on ``grid`` [cm^-1] at (p [hPa], T [K]).
+
+    Uniform grids take the windowed scatter-add path when the per-line
+    window is meaningfully narrower than the grid (hyperspectral bands);
+    non-uniform grids or narrow bands take the dense masked path.
+    """
     grid = np.asarray(grid, dtype=np.float64)
     nu, gd, gl, y, S = _preprocess_lines(model, grid, pressure, temperature)
     n = len(nu)
@@ -126,6 +186,17 @@ def compute_absorption_cross_section(model: HitranModel, grid, pressure,
         nu, S = pad(nu, grid[0]), pad(S)
         gd, gl, y = pad(gd, 1.0), pad(gl, 1.0), pad(y, 1.0)
     n_chunks = len(nu) // LINE_CHUNK
+
+    dnu = _uniform_spacing(grid)
+    if dnu is not None and not force_dense:
+        W = int(np.ceil(2.0 * model.wing_cutoff / dnu)) + 2
+        if W < len(grid) // 2:
+            sigma = _line_sum_windowed(
+                grid[0], dnu, len(grid), jnp.asarray(nu), jnp.asarray(gd),
+                jnp.asarray(gl), jnp.asarray(y), jnp.asarray(S),
+                model.wing_cutoff, model.broadening, model.cef, n_chunks, W)
+            return np.asarray(sigma)
+
     sigma = _line_sum(jnp.asarray(grid), jnp.asarray(nu), jnp.asarray(gd),
                       jnp.asarray(gl), jnp.asarray(y), jnp.asarray(S),
                       model.wing_cutoff, model.broadening, model.cef, n_chunks)

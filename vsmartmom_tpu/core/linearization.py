@@ -126,7 +126,8 @@ def _component_tangent_inputs(model, i_band, comp_index, d_comp):
     return d_inputs
 
 
-def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3):
+def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3,
+                      mie_method: str = "exact"):
     """Tangent SolverInputs for the 7 aerosol parameters of aerosol i_aer."""
     from ..scattering.greek import GreekCoefs
     from .model import _build_one_aerosol
@@ -168,14 +169,35 @@ def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3):
                                      model.profile.p_half)
         tangents[name] = {"tau_profile": scale * (hi - lo) / (2 * h), "ssa": 0.0}
 
-    # Mie microphysics: central FD through the full aerosol build.
-    mie_params = {"n_r": "n_r", "n_i": "n_i", "r_mode": "mu_log",
-                  "sigma_g": "sigma_log"}
-    for pname, attr in mie_params.items():
-        if aer.phase_function_g is not None:
+    # Mie microphysics: exact forward-mode tangents through the JAX-traced
+    # NAI-2 -> delta-BGE -> delta-M pipeline (scattering/mie_lin.py; the
+    # reference uses ForwardDiff duals, compute_NAI2_lin.jl). mie_method =
+    # "fd" keeps the old central-FD path for cross-validation tests.
+    mie_params = {"n_r": 0, "n_i": 1, "r_mode": 2, "sigma_g": 3}
+    if aer.phase_function_g is not None:
+        for pname in mie_params:
             tangents[pname] = {"tau_profile": np.zeros_like(comp.tau_profile),
                                "ssa": 0.0}
-            continue
+        return tangents
+
+    if mie_method == "exact":
+        from ..scattering.mie_lin import (exact_aerosol_mie_tangents,
+                                          greek_tangent_as_coefs)
+        from .atmosphere import aerosol_layer_tau_gauss
+        shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
+                                        model.profile.p_half)
+        _, jac = exact_aerosol_mie_tangents(
+            aer, params.scattering_params, lam_band, shape, use_bge, l_cap)
+        for pname, ip in mie_params.items():
+            tangents[pname] = {
+                "tau_profile": np.asarray(jac["tau_profile"][:, ip]),
+                "ssa": float(jac["ssa"][ip]),
+                "greek": greek_tangent_as_coefs(jac["greek"], ip)}
+        return tangents
+
+    fd_attr = {"n_r": "n_r", "n_i": "n_i", "r_mode": "mu_log",
+               "sigma_g": "sigma_log"}
+    for pname, attr in fd_attr.items():
         x = getattr(aer, attr)
         h = max(abs(x) * fd_rel, 1e-5)
         hi = rebuild(dc_replace(aer, **{attr: x + h}))
