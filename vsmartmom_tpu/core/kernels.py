@@ -220,8 +220,9 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
     Args:
       j0_p/j0_m: (nSpec, N, K) stacked per-source vectors.
       expk: (nSpec, K) per-source beam attenuation (solar: exp(-dtau/mu0);
-        thermal: ones — the Fortran TIR recipe, types.jl:279-286); squared
-        every step.
+        thermal: ones — the Fortran TIR recipe, types.jl:279-286) or its
+        row-wise (nSpec, N, K) form for block-diagonally packed operands
+        (ops/packing.py); squared every step.
       ndoubl: static doubling count (uniform across layers/spectra).
       d_vec: (N,) +-1 D-matrix diagonal tiled over streams.
 
@@ -230,6 +231,8 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
     dtype = r_mp.dtype
     n_spec, N, _ = j0_p.shape
     eye = jnp.eye(N, dtype=dtype)
+    if expk.ndim == 2:
+        expk = jnp.broadcast_to(expk[:, None, :], j0_p.shape)
 
     if ndoubl == 0:
         # No doubling: reverse operators directly from parity signs
@@ -248,9 +251,9 @@ def doubling(r_mp, t_pp, j0_p, j0_m, expk, ndoubl: int, d_vec):
         # tt_gp = t (I - r r)^-1   [solve form, rt_helpers.jl:102-107]
         gp = _bsolve(eye[None] - _bmm(r, r), jnp.broadcast_to(eye, r.shape))
         tt_gp = _bmm(t, gp)
-        # Source cascade (rt_helpers.jl:130-136), per-source expk
-        j1p = jp * ek[:, None, :]
-        j1m = jm * ek[:, None, :]
+        # Source cascade (rt_helpers.jl:130-136), per-source row-wise expk
+        j1p = jp * ek
+        j1m = jm * ek
         jm_new = jm + _bmv(tt_gp, j1m + _bmv(r, jp))
         jp_new = j1p + _bmv(tt_gp, jp + _bmv(r, j1m))
         # R/T update (rt_helpers.jl:161-166)

@@ -52,6 +52,10 @@ class Parameters:
     dtau_max_threshold: float = 1e-3
     dtau_min_floor: Optional[float] = None
     include_solar: bool = True          # zero F0 for thermal-only (TIR) runs
+    # TPU execution knobs (None = auto by backend; see build_band):
+    fused: Optional[bool] = None        # Pallas fused layer path
+    pack: Optional[int] = None          # block-diagonal spectral pack factor
+    ns_auto: bool = True                # scene-derived NS iteration schedule
 
     @property
     def stream_l_cap(self) -> int:
@@ -375,10 +379,45 @@ class RTModel:
         sif_spec = band.sif_spec if band.sif_spec is not None \
             else np.zeros(n_spec)
 
+        # --- TPU execution strategy (fused Pallas layer kernel + spectral
+        # block-diagonal packing + scene-derived NS iteration schedule).
+        # Auto-resolution: the Pallas/packing paths apply on TPU backends;
+        # CPU keeps the reference-shaped LAPACK path (tests force CPU).
+        fused = params.fused
+        if fused is None:
+            from ..ops.fused_rt import use_fused
+            fused = use_fused()
+        pack = params.pack
+        if pack is None:
+            from ..ops.packing import pick_pack
+            pack = pick_pack(N, n_spec) if fused else 1
+        if n_spec % pack != 0:
+            pack = 1
+        ns_sched, ns_inter = (), 6
+        if (fused or pack > 1) and params.ns_auto and ndoubl > 0:
+            from ..ops.ns_schedule import probe_ns_schedule
+            # Probe at the spectrally worst point: max layer scattering.
+            s_star = int(np.argmax(scat_w.sum(axis=1).max(axis=0)))
+            tau_p = tau[:, s_star]
+            safe_tau = np.where(tau_p > 0, tau_p, 1.0)
+            wZ_pp_l = np.einsum("zc,cij->zij", scat_w[:, :, s_star],
+                                Z_pp[0]) / safe_tau[:, None, None]
+            wZ_mp_l = np.einsum("zc,cij->zij", scat_w[:, :, s_star],
+                                Z_mp[0]) / safe_tau[:, None, None]
+            from .types import stokes_d_vector
+            d_vec = stokes_d_vector(ns, quad.Nquad)
+            surf_probe = np.asarray(surf_r[0]) * float(np.max(surf_spec)) \
+                if np.size(surf_spec) else None
+            ns_sched, ns_inter = probe_ns_schedule(
+                wZ_pp_l, wZ_mp_l, tau_p, quad.qp_mu_N, quad.wt_mu_N,
+                d_vec, int(ndoubl), surf_r=surf_probe)
+
         config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
                               nz=nz, m_max=m_max, ndoubl=int(ndoubl),
                               i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft,
-                              n_sources=n_sources)
+                              n_sources=n_sources, fused=bool(fused),
+                              pack=int(pack), ns_sched=ns_sched,
+                              ns_inter=int(ns_inter))
         inputs = SolverInputs(
             qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
             tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,

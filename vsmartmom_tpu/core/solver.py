@@ -21,8 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .kernels import (AddedLayer, doubling, elemental, identity_composite,
-                      interaction)
+from .kernels import (AddedLayer, CompositeLayer, doubling, elemental,
+                      identity_composite, interaction)
 from .types import SolverConfig, SolverInputs, stokes_d_vector
 
 
@@ -38,14 +38,16 @@ def _mixed_omega_Z(scat_w_z, Z_comp, tau_z):
     return num / safe_tau[:, None, None]
 
 
-def _make_added_layer(layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
-                      config: SolverConfig, F0, fourier_w, is_m0, d_vec):
-    """Homogeneous-layer operators: elemental -> doubling.
+def _elemental_and_sources(layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N,
+                           mu0, config: SolverConfig, F0, fourier_w, is_m0):
+    """Elemental slab operators + stacked per-source j vectors.
 
-    Builds the stacked per-source elemental j vectors: slot 0 solar (SFI),
-    slot 1 (when config.n_sources == 2) the per-layer Planck thermal volume
-    source (thermal_emission.jl:241-292) which is isotropic (m = 0 only,
-    Stokes-I) and doubles with its own expk = 1.
+    Slot 0 is the solar beam (SFI), slot 1 (when config.n_sources == 2) the
+    per-layer Planck thermal volume source (thermal_emission.jl:241-292)
+    which is isotropic (m = 0 only, Stokes-I) and doubles with expk = 1.
+
+    Returns (r_mp, t_pp, j0_p, j0_m, expk) with sources (s, N, K) and
+    expk (s, K).
     """
     tau_z, scat_w_z, tau_sum_z, thermal_b_z = layer_data
     dtype = tau_z.dtype
@@ -75,13 +77,54 @@ def _make_added_layer(layer_data, *, Z_pp_m, Z_mp_m, qp_mu_N, wt_mu_N, mu0,
         j0_p = jnp.stack([j_sol_p, j_th], axis=-1)
         j0_m = jnp.stack([j_sol_m, j_th], axis=-1)
         expk = jnp.stack([expk_sol, jnp.ones_like(expk_sol)], axis=-1)
+    return r_mp, t_pp, j0_p, j0_m, expk
 
+
+def _make_added_layer(layer_data, *, d_vec, config: SolverConfig, **kw):
+    """Homogeneous-layer operators (elemental -> doubling), unpacked —
+    used by the multisensor driver which stashes per-layer operators."""
+    r_mp, t_pp, j0_p, j0_m, expk = _elemental_and_sources(
+        layer_data, config=config, **kw)
     return doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
 
 
-def _layer_step(comp, layer_data, **kw):
-    """One layer of the vertical scan: elemental -> doubling -> interaction."""
-    add = _make_added_layer(layer_data, **kw)
+def _layer_step(comp, layer_data, *, d_vec, config: SolverConfig, **kw):
+    """One layer of the vertical scan: elemental -> doubling -> interaction.
+
+    Three execution paths, identical algebra (tests assert parity):
+      * fused  — Pallas VMEM-resident doubling+interaction on (optionally
+        block-diagonally packed) operators, the TPU product path;
+      * packed XLA — same packing, XLA doubling/interaction (CPU-testable,
+        and the VSM_NO_FUSED measurement baseline on TPU);
+      * plain XLA — the reference-shaped per-spectral-point path.
+    The composite ``comp`` is carried PACKED through the scan when
+    config.pack > 1 (ops/packing.py).
+    """
+    r_mp, t_pp, j0_p, j0_m, expk = _elemental_and_sources(
+        layer_data, config=config, **kw)
+    p = config.pack
+    if p > 1 or config.fused:
+        from ..ops.packing import pack_mat, pack_vec
+        # Row-wise expk, packed along rows with the source vectors.
+        ek_rows = pack_vec(jnp.broadcast_to(
+            expk[:, None, :], j0_p.shape), p)
+        d_p = jnp.tile(d_vec, p)
+        if config.fused:
+            from ..ops.fused_rt import fused_layer_step, pick_block
+            r_star = pack_mat(r_mp * d_vec[None, :, None], p)
+            jm_star = pack_vec(j0_m * d_vec[None, :, None], p)
+            Np = r_star.shape[-1]
+            out = fused_layer_step(
+                tuple(comp), r_star, pack_mat(t_pp, p), pack_vec(j0_p, p),
+                jm_star, ek_rows, d_p, config.ndoubl,
+                ns_sched=config.ns_sched or None, ns_inter=config.ns_inter,
+                block=pick_block(r_star.shape[0], Np))
+            return CompositeLayer(*out), None
+        add = doubling(pack_mat(r_mp, p), pack_mat(t_pp, p),
+                       pack_vec(j0_p, p), pack_vec(j0_m, p),
+                       ek_rows, config.ndoubl, d_p)
+        return interaction(comp, add), None
+    add = doubling(r_mp, t_pp, j0_p, j0_m, expk, config.ndoubl, d_vec)
     return interaction(comp, add), None
 
 
@@ -183,20 +226,31 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
                        config=config, F0=F0, fourier_w=fw, is_m0=is_m0,
                        d_vec=d_vec)
 
-        comp = identity_composite(n_spec, N, dtype, config.n_sources)
+        # The composite is carried block-diagonally PACKED when pack > 1
+        # (ops/packing.py): p spectral points share one (pN, pN) operator
+        # for MXU tile utilization; sources stay correctly stacked.
+        p = config.pack
+        comp = identity_composite(n_spec // p, N * p, dtype, config.n_sources)
         comp, _ = jax.lax.scan(step, comp,
                                (tau, scat_w, tau_sum[:nz], thermal_b))
 
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
                               tau_sum[nz], mu0, sif_spec, is_m0, config, dtype)
-        comp_out = interaction(comp, surf)
+        if p > 1:
+            from ..ops.packing import pack_mat, pack_vec, unpack_vec
+            surf_p = AddedLayer(*(pack_mat(a, p) for a in surf[:4]),
+                                *(pack_vec(a, p) for a in surf[4:]))
+        else:
+            from ..ops.packing import unpack_vec
+            surf_p = surf
+        comp_out = interaction(comp, surf_p)
 
         # Azimuthal weighting (postprocessing_vza.jl:50-94), on-device:
         # R += w * sum_sources J0-(rows), T += w * sum_sources J0+(rows)
         # (RT reconstruction is linear in sources; each slot adds into the
         # same output — postprocessing_vza.jl:68-82).
-        J0_m = comp_out.J0_m.sum(axis=-1)    # (s, N)
-        J0_p = comp_out.J0_p.sum(axis=-1)
+        J0_m = unpack_vec(comp_out.J0_m, p).sum(axis=-1)    # (s, N)
+        J0_p = unpack_vec(comp_out.J0_p, p).sum(axis=-1)
         Jm_rows = J0_m[:, vza_rows]          # (s, nvza, ns)
         Jp_rows = J0_p[:, vza_rows]
         R = R + jnp.transpose(Jm_rows, (1, 2, 0)) * vza_w_m[:, :, None]
@@ -206,7 +260,7 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
         # radiance r_surf @ J0+(post-surface) + j_surf-; bi-hemispherical
         # fluxes at m = 0 with the direct term added at the solar node.
         from .kernels import _bmv
-        hdr_J = (_bmv(surf.r_mp, comp_out.J0_p).sum(axis=-1)
+        hdr_J = (unpack_vec(_bmv(surf_p.r_mp, comp_out.J0_p), p).sum(axis=-1)
                  + surf.j0_m.sum(axis=-1))                   # (s, N)
         hdr = hdr + jnp.transpose(hdr_J[:, vza_rows], (1, 2, 0)) \
             * vza_w_m[:, :, None]

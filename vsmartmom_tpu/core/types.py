@@ -37,6 +37,11 @@ class SolverConfig:
     dtype: Any           # solver dtype (np.float32 / np.float64)
     n_sources: int = 1   # stacked source slots (1 = solar; 2 = +thermal)
     save_streams: bool = False   # emit per-moment stream vectors (rt_run_streams)
+    fused: bool = False  # Pallas fused layer path (ops/fused_rt.py, TPU only)
+    pack: int = 1        # block-diagonal spectral pack factor (ops/packing.py)
+    ns_sched: tuple = () # per-doubling-step Newton-Schulz iteration counts
+                         # (() = worst-case default; see ops/ns_schedule.py)
+    ns_inter: int = 6    # NS iterations for the interaction inverse
 
     @property
     def N(self) -> int:

@@ -33,11 +33,25 @@ NS_ITERS = 6
 NS_REFINE = 2
 
 
+#: Residual-checked refinement: relative-residual target and step cap.
+#: Newton-Schulz error after the fixed iterations is rho^(2^(k+1)); for
+#: near-conservative scenes (ssa -> 1 thick cloud over a bright surface)
+#: rho can approach 1 and the fixed count silently under-converges — the
+#: while-loop below keeps applying defect-correction steps (2 GEMMs each,
+#: contraction factor ||I - M A|| < 1 whenever rho(S) < 1) until the
+#: residual meets the target, so accuracy no longer depends on the
+#: worst-case calibration of NS_ITERS.
+RESID_RTOL = 1e-6
+RESID_MAX_STEPS = 12
+
+
 def ns_solve(a, b, ns_iters: int = NS_ITERS, refine: int = NS_REFINE):
     """GEMM-only batched solve of a @ x = b for a = I - S, rho(S) < 1.
 
     a: (..., n, n), b: (..., n, k). Works in a.dtype on the MXU; no LU, no
-    triangular solves, no sequential inner loops.
+    triangular solves, no sequential inner loops. After ``refine`` fixed
+    defect-correction steps, further steps run under a residual check
+    until ``||b - A x|| <= RESID_RTOL * ||b||`` (max RESID_MAX_STEPS).
     """
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
@@ -57,7 +71,21 @@ def ns_solve(a, b, ns_iters: int = NS_ITERS, refine: int = NS_REFINE):
     def refine_step(_, x):
         return x + mm(m, b - mm(a, x))
 
-    return lax.fori_loop(0, refine, refine_step, x)
+    x = lax.fori_loop(0, refine, refine_step, x)
+
+    b_norm = jnp.max(jnp.abs(b))
+
+    def not_converged(state):
+        x, i = state
+        r_norm = jnp.max(jnp.abs(b - mm(a, x)))
+        return (r_norm > RESID_RTOL * b_norm) & (i < RESID_MAX_STEPS)
+
+    def extra_step(state):
+        x, i = state
+        return x + mm(m, b - mm(a, x)), i + 1
+
+    x, _ = lax.while_loop(not_converged, extra_step, (x, jnp.int32(0)))
+    return x
 
 
 def _lu_solve_f32(lu, perm, b32):

@@ -2,20 +2,29 @@
 
 The reference's performance layer is CUBLAS batched LU + GEMM chains over
 HBM-resident (N, N, nSpec) operators (/root/reference/ext/
-gpu_batched_cuda.jl:133-233).  On TPU the equivalent XLA program is
-HBM-bandwidth-bound: every doubling step round-trips ~17 (s, N, N) arrays
-through HBM while the arithmetic intensity of an N=52 batched GEMM is only
-~26 FLOP/byte (measured 0.9 TF/s end-to-end on TPU v5e vs a 37 TF/s
-calibration GEMM).  These kernels keep the layer state (r, t, source
-vectors) resident in VMEM across the *entire* doubling ladder and the
-interaction (adding) step, so HBM sees one read + one write per layer
-instead of one per GEMM.
+gpu_batched_cuda.jl:133-233).  On TPU the equivalent XLA program pays two
+costs: every doubling step round-trips ~17 (s, N, N) arrays through HBM,
+and each batched (N<=64)-matrix GEMM pads to a full 128x128 MXU tile
+(measured ~2.4 TF/s effective on TPU v5e — the padding model 197/6 passes
+x (52/128)^2 predicts exactly that).  These kernels attack both:
 
-Inside the kernel the geometric-series factor (I - S)^-1 is a Newton-Schulz
-iteration (pure MXU dots, quadratic convergence for rho(S) < 1 — every RT
-system here is I - product-of-reflections); the second interaction inverse
-is eliminated entirely with the push-through identity
-(I - B A)^-1 = I + B (I - A B)^-1 A.
+* the layer state (r, t, source vectors) stays resident in VMEM across the
+  *entire* doubling ladder and the interaction (adding) step, so HBM sees
+  one read + one write per layer instead of one per GEMM;
+* the spectral batch can be block-diagonally PACKED (ops/packing.py):
+  p = floor(128/N) spectral points share one (pN, pN) operator, lifting
+  MXU tile utilization by ~p^2 (52 -> 104 doubles the effective FLOP rate);
+  all the adding-doubling algebra is closed over block-diagonal matrices,
+  so the kernels run unchanged on packed operands;
+* the geometric-series factor (I - S)^-1 is a Newton-Schulz iteration
+  (pure MXU dots, quadratic convergence for rho(S) < 1 — every RT system
+  here is I - product-of-reflections) with a PER-DOUBLING-STEP iteration
+  schedule: early ladder steps have rho(r r) ~ (dtau)^2 ~ 1e-6 and need one
+  iteration, only the last steps near the full-layer reflectivity need
+  more.  The schedule is derived per scene from a host-side spectral-radius
+  probe (ops/ns_schedule.py) — replacing the fixed worst-case 6+2 count;
+* the second interaction inverse is eliminated entirely with the
+  push-through identity (I - B A)^-1 = I + B (I - A B)^-1 A.
 """
 
 from functools import partial
@@ -26,9 +35,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: Newton-Schulz iterations for (I - S)^-1: error rho^(2^(k+1)); k = 6
-#: reaches rho^128 (< 5e-13 even at rho = 0.8, a conservative-scattering
-#: cloud deck).
+#: Fallback Newton-Schulz iterations for (I - S)^-1 when no scene-derived
+#: schedule is supplied: error rho^(2^(k+1)); k = 6 reaches rho^128
+#: (< 5e-13 even at rho = 0.8, a conservative-scattering cloud deck).
 NS_ITERS = 6
 
 #: Spectral points per Pallas program. 16 keeps ~12 live (B, N, N) f32
@@ -85,21 +94,37 @@ def _ns_inverse(S, ns_iters: int):
     return m
 
 
-def _doubling_math(r, t, jp, jm, ek, ndoubl: int, ns_iters: int):
+def _norm_sched(ns_sched, ndoubl):
+    """Normalize a per-doubling-step NS iteration schedule to a tuple of
+    length ndoubl (int -> uniform; None/() -> NS_ITERS everywhere)."""
+    if ns_sched is None or ns_sched == ():
+        return (NS_ITERS,) * ndoubl
+    if isinstance(ns_sched, int):
+        return (ns_sched,) * ndoubl
+    ns_sched = tuple(int(k) for k in ns_sched)
+    assert len(ns_sched) == ndoubl, (ns_sched, ndoubl)
+    return ns_sched
+
+
+def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
     """The doubling ladder on starred operators — shared by the Pallas
-    kernel body and the XLA fallback so both paths are the same algebra."""
+    kernel body and the XLA fallback so both paths are the same algebra.
+
+    ek_rows: (b, N, K) per-ROW beam attenuation (per-spectral-point scalars
+    broadcast over their rows; row-wise so block-diagonally packed operands
+    carry each point's own expk). Squared every step.
+    """
 
     # Static unroll: lax.scan does not lower inside Pallas TPU kernels, and
     # ndoubl is small (<= ~12) and static.
-    for _ in range(ndoubl):
+    for ns_iters in ns_sched:
         gp = _ns_inverse(_bmm(r, r), ns_iters)
         tt_gp = _bmm(t, gp)
-        ekx = ek[:, None, :]
-        jm_e = jm * ekx
+        jm_e = jm * ek_rows
         jm, jp = (jm + _bmm(tt_gp, jm_e + _bmm(r, jp)),
-                  jp * ekx + _bmm(tt_gp, jp + _bmm(r, jm_e)))
+                  jp * ek_rows + _bmm(tt_gp, jp + _bmm(r, jm_e)))
         r, t = r + _bmm(tt_gp, _bmm(r, t)), _bmm(tt_gp, t)
-        ek = ek * ek
+        ek_rows = ek_rows * ek_rows
     return r, t, jp, jm
 
 
@@ -126,16 +151,34 @@ def _interaction_math(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
     return R_mp_new, R_pm_new, T_pp_new, T_mm_new, J0_p_new, J0_m_new
 
 
+def _resolve_interpret(interpret):
+    """None -> interpreter mode on non-TPU backends (lets the solver's
+    fused path run — and be tested — on CPU with identical semantics)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+def _ek_to_rows(ek, N):
+    """(s, K) per-point expk -> (s, N, K) per-row; (s, N, K) passes through.
+
+    For block-diagonally packed operands (s' = s/p, N' = pN) the caller
+    builds the row-wise form with ops.packing.pack_vec — a free reshape —
+    so each packed point's rows carry its own attenuation factor.
+    """
+    if ek.ndim == 3:
+        return ek
+    return jnp.broadcast_to(ek[:, None, :], (ek.shape[0], N, ek.shape[1]))
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernels
 # ---------------------------------------------------------------------------
 
 def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
-                     ro_ref, to_ref, jpo_ref, jmo_ref,
-                     *, ndoubl: int, ns_iters: int):
+                     ro_ref, to_ref, jpo_ref, jmo_ref, *, ns_sched):
     r, t, jp, jm = _doubling_math(
-        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:],
-        ndoubl, ns_iters)
+        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched)
     ro_ref[:] = r
     to_ref[:] = t
     jpo_ref[:] = jp
@@ -143,21 +186,24 @@ def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
 
 
 def fused_doubling(r, t, jp, jm, expk, ndoubl: int,
-                   ns_iters: int = NS_ITERS, block: int = DEFAULT_BLOCK,
-                   interpret: bool = False):
+                   ns_sched=None, block: int = DEFAULT_BLOCK,
+                   interpret: bool | None = None):
     """VMEM-resident doubling ladder on starred operators.
 
-    r, t: (s, N, N); jp, jm: (s, N, K); expk: (s, K). Returns
-    (r, t, jp, jm) after ``ndoubl`` doublings (expk handling included).
+    r, t: (s, N, N); jp, jm: (s, N, K); expk: (s, K) per-point or (s, N, K)
+    per-row. Returns (r, t, jp, jm) after ``ndoubl`` doublings (expk
+    handling included).
     """
     s, N, _ = r.shape
     K = jp.shape[-1]
     block = min(block, s)
     assert s % block == 0, (s, block)
     grid = (s // block,)
+    ns_sched = _norm_sched(ns_sched, ndoubl)
+    ek_rows = _ek_to_rows(expk, N)
+    interpret = _resolve_interpret(interpret)
 
-    mat, vec, ek_s = _spec(block, (N, N)), _spec(block, (N, K)), \
-        _spec(block, (K,))
+    mat, vec = _spec(block, (N, N)), _spec(block, (N, K))
     out_shapes = (
         jax.ShapeDtypeStruct(r.shape, r.dtype),
         jax.ShapeDtypeStruct(t.shape, t.dtype),
@@ -165,21 +211,21 @@ def fused_doubling(r, t, jp, jm, expk, ndoubl: int,
         jax.ShapeDtypeStruct(jm.shape, jm.dtype),
     )
     fn = pl.pallas_call(
-        partial(_doubling_kernel, ndoubl=ndoubl, ns_iters=ns_iters),
+        partial(_doubling_kernel, ns_sched=ns_sched),
         grid=grid,
-        in_specs=[mat, mat, vec, vec, ek_s],
+        in_specs=[mat, mat, vec, vec, vec],
         out_specs=(mat, mat, vec, vec),
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )
-    return fn(r, t, jp, jm, expk)
+    return fn(r, t, jp, jm, ek_rows)
 
 
 def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
                   r_ref, t_ref, jp_ref, jm_ref, ek_ref, dsgn_ref,
                   Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
-                  *, ndoubl: int, ns_iters: int):
+                  *, ns_sched, ns_inter: int):
     """Whole layer step: doubling ladder then interaction, one HBM trip.
 
     Inputs arrive STARRED (r* = D r-+, j-* = D j0-, elemental.jl:416-419);
@@ -189,8 +235,7 @@ def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
     """
     d_vec = dsgn_ref[0]                     # (N,) +-1
     r, t, jp, jm = _doubling_math(
-        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:],
-        ndoubl, ns_iters)
+        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched)
     # Unstar + parity reconstruction (doubling.jl:178-216).
     sgn = d_vec[:, None] * d_vec[None, :]   # (N, N)
     r_mp = r * d_vec[None, :, None]
@@ -200,45 +245,61 @@ def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
 
     out = _interaction_math(
         Rmp_ref[:], Rpm_ref[:], Tpp_ref[:], Tmm_ref[:], Jp_ref[:], Jm_ref[:],
-        r_mp, r_pm, t, t_mm, jp, jm_u, ns_iters)
+        r_mp, r_pm, t, t_mm, jp, jm_u, ns_inter)
     for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
         ref[:] = val
 
 
 def fused_layer_step(comp, r_star, t_pp, jp, jm_star, expk, d_vec,
-                     ndoubl: int, ns_iters: int = NS_ITERS,
-                     block: int = DEFAULT_BLOCK, interpret: bool = False):
+                     ndoubl: int, ns_sched=None, ns_inter: int = NS_ITERS,
+                     block: int = DEFAULT_BLOCK,
+                     interpret: bool | None = None):
     """Fused doubling + interaction for one layer.
 
     comp: tuple (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m) with matrices
     (s, N, N) and sources (s, N, K). r_star/jm_star are the starred
-    elemental operators. Returns the new composite tuple.
+    elemental operators; expk is (s, K) per-point or (s, N, K) per-row
+    (packed operands). Returns the new composite tuple.
     """
     R_mp, R_pm, T_pp, T_mm, J0_p, J0_m = comp
     s, N, _ = r_star.shape
     K = jp.shape[-1]
     block = min(block, s)
     assert s % block == 0, (s, block)
+    ns_sched = _norm_sched(ns_sched, ndoubl)
+    ek_rows = _ek_to_rows(expk, N)
+    interpret = _resolve_interpret(interpret)
 
-    mat, vec, ek_s = _spec(block, (N, N)), _spec(block, (N, K)), \
-        _spec(block, (K,))
+    mat, vec = _spec(block, (N, N)), _spec(block, (N, K))
     dsgn = jnp.broadcast_to(d_vec.astype(r_star.dtype)[None, :], (8, N))
 
     out_shapes = tuple(
         jax.ShapeDtypeStruct(a.shape, a.dtype)
         for a in (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m))
     fn = pl.pallas_call(
-        partial(_layer_kernel, ndoubl=ndoubl, ns_iters=ns_iters),
+        partial(_layer_kernel, ns_sched=ns_sched, ns_inter=ns_inter),
         grid=(s // block,),
         in_specs=[mat, mat, mat, mat, vec, vec,
-                  mat, mat, vec, vec, ek_s, _spec(block, (8, N), bcast=True)],
+                  mat, mat, vec, vec, vec, _spec(block, (8, N), bcast=True)],
         out_specs=(mat, mat, mat, mat, vec, vec),
         out_shape=out_shapes,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )
     return fn(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
-              r_star, t_pp, jp, jm_star, expk, dsgn)
+              r_star, t_pp, jp, jm_star, ek_rows, dsgn)
+
+
+def pick_block(s: int, N: int, max_block: int = DEFAULT_BLOCK) -> int:
+    """Largest power-of-two block <= max_block that divides the (possibly
+    packed) spectral extent s, scaled down for wide packed operators so the
+    working set stays within VMEM."""
+    if N > 96:
+        max_block = max(max_block // 2, 1)
+    b = 1
+    while b * 2 <= max_block and s % (b * 2) == 0:
+        b *= 2
+    return b
 
 
 def use_fused() -> bool:
