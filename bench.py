@@ -38,17 +38,38 @@ PEAK_TFLOPS = {
 }
 
 
-def flops_per_point(N, nz, n_m, ndoubl, n_sources):
-    """Estimated FLOPs per spectral point for one rt_solve.
+def flops_per_point(config):
+    """EXECUTED FLOPs per spectral point for one rt_solve (round-2 VERDICT
+    weak item 2: price what actually runs, not an abstract LU model).
 
-    Per doubling step: 1 batched solve (LU: 2/3 N^3 + N-rhs substitution
-    2 N^3) + 5 N^3-GEMMs. Per interaction: 2 solves + 6 GEMMs. Elemental /
-    postprocessing are O(N^2) — ignored (< 2%).
+    The fused path runs, per full-physics Fourier moment and layer, a
+    doubling ladder with a per-step Newton-Schulz schedule and one
+    interaction with a single NS inverse, all on block-diagonally packed
+    (pN, pN) operands with the source vectors folded into the matrix dots
+    by column concatenation. Each dot A(Np x Np) @ B(Np x C) executes
+    2 Np^2 C FLOPs shared by p spectral points. Moments above m_scat run
+    the O(N) Beer-law shortcut (ignored, < 1%), as are elemental and
+    postprocessing (O(N^2)).
     """
-    gemm = 2.0 * N ** 3
-    solve = (2.0 / 3.0 + 2.0) * N ** 3
-    per_layer = ndoubl * (solve + 5 * gemm) + (2 * solve + 6 * gemm)
-    return n_m * nz * per_layer
+    p = max(config.pack, 1)
+    Np = config.N * p
+    Kp = config.n_sources * p
+    sched = config.ns_sched or (6,) * config.ndoubl
+    n_full = config.m_max + 1 if config.m_scat < 0 \
+        else min(config.m_scat + 1, config.m_max + 1)
+
+    cols = 0.0
+    for k in sched:                       # doubling ladder
+        cols += (2 * k) * Np              # Newton-Schulz dots
+        cols += Np                        # S = r r
+        cols += Np                        # tt_gp = t gp
+        cols += Np + 2 * Kp               # X = r [t | jp | jm]
+        cols += 2 * Np + 2 * Kp           # Y = tt_gp [t | rt | v1 | v2]
+    k = config.ns_inter                   # interaction
+    cols += (2 * k + 3) * Np              # S1, NS, T01, u
+    cols += (Np + Kp) + 2 * (2 * Np + Kp) + (2 * Np + Kp) + Np
+    per_layer = 2.0 * Np ** 2 * cols / p
+    return n_full * config.nz * per_layer
 
 
 def main():
@@ -104,6 +125,23 @@ def main():
                           "error": "non-finite output"}))
         return
 
+    # On-device parity gate (round-2 VERDICT item 1): the fused/packed/
+    # moment-split product path must match the plain reference-shaped XLA
+    # path ON THIS BACKEND before any timing is reported.
+    if config_c.fused or config_c.pack > 1 or config_c.m_scat >= 0:
+        cfg_ref = dataclasses.replace(config_c, fused=False, pack=1,
+                                      m_scat=-1, ns_sched=(), ns_inter=6)
+        ref0 = jax.jit(lambda x: rt_solve(x, cfg_ref)["R"])(chunks[0])
+        a, b = np.asarray(out0), np.asarray(ref0)
+        rel = np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30)
+        if not (rel < 1e-4):
+            print(json.dumps({"metric": "spectral_points_per_s_per_chip",
+                              "value": -1.0, "unit": "points/s",
+                              "vs_baseline": 0.0,
+                              "error": f"fused-path parity {rel:.2e} "
+                                       f"vs plain XLA exceeds 1e-4"}))
+            return
+
     reps = 3
     times = []
     for _ in range(reps):
@@ -115,8 +153,7 @@ def main():
     dt = min(times)
 
     pts_per_s = n_spec_total / dt
-    fl = flops_per_point(config.N, config.nz, config.m_max + 1,
-                         config.ndoubl, config.n_sources) * n_spec_total
+    fl = flops_per_point(config_c) * n_spec_total
     tflops = fl / dt / 1e12
     if tflops > peak:
         print(json.dumps({

@@ -83,6 +83,30 @@ class TestPathParity:
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                        rtol=5e-5, atol=1e-6, err_msg=k)
 
+    def test_moment_split_matches_full(self, baseline):
+        """Moments above m_scat (surface-only: Cox-Munk pushes m_max to the
+        stream cap, Rayleigh scatters only to m = 2) must be exactly
+        reproduced by the diagonal Beer-law shortcut."""
+        from vsmartmom_tpu.core.solver import rt_solve
+        _, inputs, config, ref = baseline
+        assert 0 <= config.m_scat < config.m_max   # split active by default
+        cfg_full = dataclasses.replace(config, m_scat=config.m_max)
+        out = rt_solve(inputs, cfg_full)
+        for k in KEYS:
+            np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(out[k]),
+                                       rtol=2e-5, atol=1e-7, err_msg=k)
+
+    def test_moment_split_streams(self, baseline):
+        from vsmartmom_tpu.core.solver import rt_solve
+        _, inputs, config, _ = baseline
+        cfg_s = dataclasses.replace(config, save_streams=True)
+        cfg_f = dataclasses.replace(config, save_streams=True,
+                                    m_scat=config.m_max)
+        a, b = rt_solve(inputs, cfg_s), rt_solve(inputs, cfg_f)
+        for k in ("J_up_per_m", "J_dn_per_m"):
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=2e-5, atol=1e-7, err_msg=k)
+
     def test_ns_schedule_probe_is_safe(self, baseline):
         """The scene-derived schedule must reproduce the worst-case result."""
         from vsmartmom_tpu.core.solver import rt_solve

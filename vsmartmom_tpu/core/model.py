@@ -412,12 +412,20 @@ class RTModel:
                 wZ_pp_l, wZ_mp_l, tau_p, quad.qp_mu_N, quad.wt_mu_N,
                 d_vec, int(ndoubl), surf_r=surf_probe)
 
+        # Highest moment with any atmospheric scattering: beyond it the
+        # column is purely absorbing and the solver's exact Beer-law
+        # shortcut applies (numeric BRDFs like Cox-Munk push m_max to the
+        # stream cap, but Rayleigh-only atmospheres scatter only to m = 2).
+        m_scat = min(m_max, max(
+            [band.greek_rayleigh.l_max - 1]
+            + [a.greek.l_max - 1 for a in band.aerosols]))
+
         config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
                               nz=nz, m_max=m_max, ndoubl=int(ndoubl),
                               i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft,
                               n_sources=n_sources, fused=bool(fused),
                               pack=int(pack), ns_sched=ns_sched,
-                              ns_inter=int(ns_inter))
+                              ns_inter=int(ns_inter), m_scat=int(m_scat))
         inputs = SolverInputs(
             qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
             tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,

@@ -289,13 +289,68 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
           inputs.surf_r.astype(dtype), inputs.surf_j_m.astype(dtype),
           inputs.surf_direct_m.astype(dtype), inputs.vza_w.astype(dtype),
           fourier_w, jnp.arange(n_m) == 0)
+
+    # Static moment split: moments above m_scat see a purely absorbing
+    # atmosphere (all Z supermatrices vanish) and the layer chain reduces
+    # exactly to diagonal Beer-law transmission — the reference handles
+    # this with ScatteringInterface_00 trait dispatch (interaction.jl:
+    # 52-120); here it is a compile-time split that skips the entire GEMM
+    # chain for those moments (e.g. Cox-Munk drives m_max to the stream
+    # cap but Rayleigh scattering stops at m = 2: 13 of 16 moments take
+    # this path on the flagship ocean scene).
+    n_full = n_m if config.m_scat < 0 else min(config.m_scat + 1, n_m)
+    if inputs.surf_r.ndim == 4 or inputs.surf_j_m.ndim == 4:
+        n_full = n_m   # spectrally-resolved surface (canopy): keep full path
+    xs_full = jax.tree_util.tree_map(lambda a: a[:n_full], xs)
     (R, T, hdr, bhr_uw, bhr_dw, Jup0, Jdn0), ys = \
-        jax.lax.scan(moment_body, init, xs)
+        jax.lax.scan(moment_body, init, xs_full)
+
+    ys_tail = None
+    if n_full < n_m:
+        from .kernels import _exp
+        surf_r_rest = xs[2][n_full:]          # (M2, N, N)
+        surf_j_rest = xs[3][n_full:]          # (M2, N, ns)
+        direct_rest = xs[4][n_full:]          # (M2,)
+        vza_w_rest = xs[5][n_full:]           # (M2, nvza, ns)
+
+        tau_tot = tau_sum[nz]                                  # (s,)
+        att = _exp(-tau_tot / mu0)                             # (s,)
+        Tdiag = _exp(-tau_tot[:, None] / qp_mu_N[None, :])     # (s, N)
+
+        # Surface upwelling source per moment, Beer-attenuated to TOA.
+        j0m = jnp.einsum("mik,ks->msi", surf_j_rest, F0,
+                         precision="highest") \
+            * (att * surf_spec)[None, :, None]                 # (M2, s, N)
+        Jtoa = Tdiag[None] * j0m
+        R = R + jnp.einsum("msvk,mvk->vks", Jtoa[:, :, vza_rows],
+                           vza_w_rest, precision="highest")
+
+        # Direct solar beam at the surface (masked per moment for numeric
+        # BRDFs — see _surface_layer) feeds T and the HDRF reflection.
+        j0p_vec = jnp.zeros((n_spec, N), dtype)
+        j0p_vec = j0p_vec.at[
+            :, config.i_mu0_start:config.i_mu0_start + ns].set(
+            (F0 * att[None, :]).T)                             # (s, N)
+        j0p_m = j0p_vec[None] * direct_rest[:, None, None]     # (M2, s, N)
+        T = T + jnp.einsum("msvk,mvk->vks", j0p_m[:, :, vza_rows],
+                           vza_w_rest, precision="highest")
+
+        hdr_J = jnp.einsum("mij,msj->msi", surf_r_rest, j0p_m,
+                           precision="highest") \
+            * surf_spec[None, :, None] + j0m                   # (M2, s, N)
+        hdr = hdr + jnp.einsum("msvk,mvk->vks", hdr_J[:, :, vza_rows],
+                               vza_w_rest, precision="highest")
+        if config.save_streams:
+            ys_tail = (Jtoa, j0p_m)
 
     out = {"R": R, "T": T, "hdr": hdr, "bhr_uw": bhr_uw, "bhr_dw": bhr_dw,
            "J0_up_toa": Jup0, "J0_dn_boa": Jdn0}
     if config.save_streams:
-        out["J_up_per_m"], out["J_dn_per_m"] = ys   # (n_m, s, N)
+        J_up, J_dn = ys
+        if ys_tail is not None:
+            J_up = jnp.concatenate([J_up, ys_tail[0]], axis=0)
+            J_dn = jnp.concatenate([J_dn, ys_tail[1]], axis=0)
+        out["J_up_per_m"], out["J_dn_per_m"] = J_up, J_dn   # (n_m, s, N)
     return out
 
 

@@ -42,6 +42,11 @@ class SolverConfig:
     ns_sched: tuple = () # per-doubling-step Newton-Schulz iteration counts
                          # (() = worst-case default; see ops/ns_schedule.py)
     ns_inter: int = 6    # NS iterations for the interaction inverse
+    m_scat: int = -1     # highest Fourier moment with atmospheric scattering
+                         # (< 0: all moments run the full layer chain).
+                         # Moments above it use the exact diagonal Beer-law
+                         # shortcut (reference ScatteringInterface_00 traits,
+                         # types.jl:424-435, done as a static split).
 
     @property
     def N(self) -> int:

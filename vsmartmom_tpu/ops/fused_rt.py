@@ -113,7 +113,14 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
     ek_rows: (b, N, K) per-ROW beam attenuation (per-spectral-point scalars
     broadcast over their rows; row-wise so block-diagonally packed operands
     carry each point's own expk). Squared every step.
+
+    The thin source-vector products are FOLDED into the matrix products by
+    column concatenation: a (N, K) dot pays for a full padded MXU tile
+    pass, so r @ [t | jp | jm_e] and tt_gp @ [t | r t | ...] do the same
+    work in ~half the tile passes.
     """
+    N = r.shape[-1]
+    K = jp.shape[-1]
 
     # Static unroll: lax.scan does not lower inside Pallas TPU kernels, and
     # ndoubl is small (<= ~12) and static.
@@ -121,9 +128,15 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
         gp = _ns_inverse(_bmm(r, r), ns_iters)
         tt_gp = _bmm(t, gp)
         jm_e = jm * ek_rows
-        jm, jp = (jm + _bmm(tt_gp, jm_e + _bmm(r, jp)),
-                  jp * ek_rows + _bmm(tt_gp, jp + _bmm(r, jm_e)))
-        r, t = r + _bmm(tt_gp, _bmm(r, t)), _bmm(tt_gp, t)
+        X = _bmm(r, jnp.concatenate([t, jp, jm_e], axis=-1))
+        rt, r_jp, r_jme = X[..., :N], X[..., N:N + K], X[..., N + K:]
+        Y = _bmm(tt_gp, jnp.concatenate(
+            [t, rt, jm_e + r_jp, jp + r_jme], axis=-1))
+        t_new = Y[..., :N]
+        r = r + Y[..., N:2 * N]
+        jm = jm + Y[..., 2 * N:2 * N + K]
+        jp = jp * ek_rows + Y[..., 2 * N + K:]
+        t = t_new
         ek_rows = ek_rows * ek_rows
     return r, t, jp, jm
 
@@ -133,20 +146,28 @@ def _interaction_math(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
     """Adding step (Sanghavi 2014 Eqs. 23-28) with a single Newton-Schulz
     inverse: the second geometric factor comes from the push-through
     identity (I - R+- r-+)^-1 = I + R+- (I - r-+ R+-)^-1 r-+."""
+    N = R_mp.shape[-1]
+    K = J0_p.shape[-1]
     inv1 = _ns_inverse(_bmm(r_mp, R_pm), ns_iters)   # (I - r-+ R+-)^-1
     T01_inv = _bmm(T_mm, inv1)
 
-    J0_m_new = J0_m + _bmm(T01_inv, _bmm(r_mp, J0_p) + j0_m)
-    R_mp_new = R_mp + _bmm(T01_inv, _bmm(r_mp, T_pp))
-    T_mm_new = _bmm(T01_inv, t_mm)
+    X = _bmm(r_mp, jnp.concatenate([T_pp, J0_p], axis=-1))
+    rT, rJ = X[..., :N], X[..., N:]
+    Y1 = _bmm(T01_inv, jnp.concatenate([t_mm, rT, rJ + j0_m], axis=-1))
+    T_mm_new = Y1[..., :N]
+    R_mp_new = R_mp + Y1[..., N:2 * N]
+    J0_m_new = J0_m + Y1[..., 2 * N:]
 
     # T21_inv = t++ (I - R+- r-+)^-1 = t++ + t++ R+- inv1 r-+
     u = _bmm(inv1, r_mp)
-    T21_inv = t_pp + _bmm(t_pp, _bmm(R_pm, u))
+    Z = _bmm(R_pm, jnp.concatenate([u, t_mm, j0_m], axis=-1))
+    Ru, Rt, Rj = Z[..., :N], Z[..., N:2 * N], Z[..., 2 * N:]
+    T21_inv = t_pp + _bmm(t_pp, Ru)
 
-    J0_p_new = j0_p + _bmm(T21_inv, J0_p + _bmm(R_pm, j0_m))
-    T_pp_new = _bmm(T21_inv, T_pp)
-    R_pm_new = r_pm + _bmm(T21_inv, _bmm(R_pm, t_mm))
+    Y2 = _bmm(T21_inv, jnp.concatenate([T_pp, Rt, J0_p + Rj], axis=-1))
+    T_pp_new = Y2[..., :N]
+    R_pm_new = r_pm + Y2[..., N:2 * N]
+    J0_p_new = j0_p + Y2[..., 2 * N:]
 
     return R_mp_new, R_pm_new, T_pp_new, T_mm_new, J0_p_new, J0_m_new
 
