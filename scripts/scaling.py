@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--nstreams", type=int, default=8)
     ap.add_argument("--platform", default=None,
                     help="cpu (virtual mesh) or leave unset for default")
+    ap.add_argument("--audit", action="store_true",
+                    help="also report cross-shard collectives in the "
+                         "compiled sharded program")
     args = ap.parse_args()
 
     max_dev = max(args.devices)
@@ -37,6 +40,13 @@ def main():
                 flags + f" --xla_force_host_platform_device_count={max_dev}"
             ).strip()
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # Single-threaded Eigen per device: without this the n=1 run uses
+        # every physical core and "weak scaling" on a shared host measures
+        # core contention, not the SPMD program. Virtual devices beyond
+        # the physical core count still contend — the --audit collective
+        # count is the communication evidence for larger meshes.
+        os.environ["XLA_FLAGS"] += " --xla_cpu_multi_thread_eigen=false"
+        os.environ.setdefault("OMP_NUM_THREADS", "1")
 
     import jax
 

@@ -52,6 +52,7 @@ class Parameters:
     dtau_max_threshold: float = 1e-3
     dtau_min_floor: Optional[float] = None
     include_solar: bool = True          # zero F0 for thermal-only (TIR) runs
+    quadrature: str = "GaussLegQuad"    # or "RadauQuad" (SZA as weighted node)
     # TPU execution knobs (None = auto by backend; see build_band):
     fused: Optional[bool] = None        # Pallas fused layer path
     pack: Optional[int] = None          # block-diagonal spectral pack factor
@@ -185,10 +186,29 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
     direct_m[0] = 1.0
 
     if kind in ("LambertianSurfaceScalar", "LambertianSurfaceSpectrum",
-                "LambertianSurfaceLegendre"):
+                "LambertianSurfaceLegendre", "LambertianSurfaceSpline"):
         r, j = lambertian_surface_arrays(quad, n_stokes, n_m)
         if kind == "LambertianSurfaceLegendre":
             spec = lambertian_legendre_scale(np.asarray(surface.args), n_spec)
+        elif kind == "LambertianSurfaceSpline":
+            # Cubic-spline spectral albedo (reference types.jl:545-548 +
+            # lambertian_surface.jl:161-183): knots on a wavelength [nm]
+            # or wavenumber [cm^-1] grid, evaluated on the band grid.
+            from scipy.interpolate import CubicSpline
+            grid = np.asarray(surface.kwargs.get(
+                "grid", surface.args[0] if surface.args else None),
+                dtype=np.float64)
+            vals = np.asarray(surface.kwargs.get(
+                "albedo", surface.args[1] if len(surface.args) > 1 else None),
+                dtype=np.float64)
+            unit = str(surface.kwargs.get("grid_unit", "nm"))
+            if nu_grid is None:
+                raise ValueError("LambertianSurfaceSpline needs the band grid")
+            x = 1e7 / np.asarray(nu_grid) if unit == "nm" else \
+                np.asarray(nu_grid)
+            order = np.argsort(grid)
+            cs = CubicSpline(grid[order], vals[order])
+            spec = np.clip(cs(np.clip(x, grid.min(), grid.max())), 0.0, None)
         else:
             albedo = surface.args[0] if kind == "LambertianSurfaceScalar" \
                 else np.asarray(surface.args[0])
@@ -580,7 +600,12 @@ def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
 
 def model_from_parameters(params: Parameters) -> RTModel:
     pol = params.polarization
-    quad = rt_set_streams(params.nstreams, params.sza, params.vza, pol.n)
+    if params.quadrature == "RadauQuad":
+        from ..utils.quadrature import rt_set_streams_radau
+        quad = rt_set_streams_radau(params.nstreams, params.sza, params.vza,
+                                    pol.n)
+    else:
+        quad = rt_set_streams(params.nstreams, params.sza, params.vza, pol.n)
 
     profile = compute_atmos_profile_fields(params.T, params.p, params.q)
     if params.profile_reduction != -1:

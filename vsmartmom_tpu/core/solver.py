@@ -217,22 +217,57 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     thermal_b = inputs.thermal_b.astype(dtype)    # (Nz, s)
     sif_spec = inputs.sif_spec.astype(dtype)      # (s,)
 
+    # Whole-moment fused path (ops/fused_band.py): precompute the
+    # moment-independent f64-accurate transcendental precursors once —
+    # the kernel consumes them so its numerics match kernels.elemental.
+    # Mosaic block constraint: spectral width must be <= 128 or a multiple
+    # of 128 for the band kernel's scalar block specs.
+    use_band = bool(config.fused) and nz >= 1 \
+        and (n_spec <= 128 or n_spec % 128 == 0)
+    if use_band:
+        from .kernels import _exp, _expm1
+        dtau_z = tau / (2.0 ** config.ndoubl)                  # (nz, s)
+        Em1_pre = _expm1(-dtau_z[:, :, None] / qp_mu_N[None, None, :])
+        Em10_pre = _expm1(-dtau_z / mu0)
+        att_pre = _exp(-tau_sum[:nz] / mu0)
+        ek_pre = _exp(-dtau_z / mu0)
+        safe_tau_z = jnp.where(tau > 0, tau, 1.0)
+        ssa_z = jnp.sum(scat_w, axis=1) / safe_tau_z
+        th_base = 2.0 * jnp.pi * (1.0 - ssa_z) * thermal_b     # (nz, s)
+        is_I_vec = ((jnp.arange(N) % config.n_stokes) == 0).astype(dtype)
+        idx = jnp.arange(N)
+        in_blk_vec = (((idx >= config.i_mu0_start)
+                       & (idx < config.i_mu0_start + config.n_stokes))
+                      | (jnp.abs(qp_mu_N - mu0) <= 1e-9 * mu0)).astype(dtype)
+
     def moment_body(carry, xs):
         R, T, hdr, bhr_uw, bhr_dw, Jup0, Jdn0 = carry
         (Z_pp_m, Z_mp_m, surf_r_m, surf_j_m, direct_m, vza_w_m, fw, is_m0) = xs
 
-        step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
-                       qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,
-                       config=config, F0=F0, fourier_w=fw, is_m0=is_m0,
-                       d_vec=d_vec)
-
-        # The composite is carried block-diagonally PACKED when pack > 1
-        # (ops/packing.py): p spectral points share one (pN, pN) operator
-        # for MXU tile utilization; sources stay correctly stacked.
         p = config.pack
-        comp = identity_composite(n_spec // p, N * p, dtype, config.n_sources)
-        comp, _ = jax.lax.scan(step, comp,
-                               (tau, scat_w, tau_sum[:nz], thermal_b))
+        if use_band:
+            from ..ops.fused_band import fused_moment
+            comp = CompositeLayer(*fused_moment(
+                Z_pp_m, Z_mp_m, tau, scat_w, Em1_pre, Em10_pre, att_pre,
+                ek_pre, th_base * is_m0.astype(dtype), F0 * fw,
+                qp_mu_N, fw * wt_mu_N, d_vec, is_I_vec, in_blk_vec,
+                ndoubl=config.ndoubl, ns_sched=config.ns_sched or None,
+                ns_inter=config.ns_inter, pack=p,
+                n_stokes=config.n_stokes, i_mu0_start=config.i_mu0_start,
+                n_sources=config.n_sources))
+        else:
+            step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
+                           qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,
+                           config=config, F0=F0, fourier_w=fw, is_m0=is_m0,
+                           d_vec=d_vec)
+
+            # The composite is carried block-diagonally PACKED when pack > 1
+            # (ops/packing.py): p spectral points share one (pN, pN)
+            # operator for MXU tile utilization.
+            comp = identity_composite(n_spec // p, N * p, dtype,
+                                      config.n_sources)
+            comp, _ = jax.lax.scan(step, comp,
+                                   (tau, scat_w, tau_sum[:nz], thermal_b))
 
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
                               tau_sum[nz], mu0, sif_spec, is_m0, config, dtype)

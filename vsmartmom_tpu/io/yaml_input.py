@@ -10,6 +10,7 @@ so the value syntax (Julia constructor strings like
 ``"[12987.0]"`` / ``"ν_start:ν_step:ν_end"``) is accepted verbatim.
 """
 
+import ast
 import os
 import re
 
@@ -23,20 +24,47 @@ from ..scattering.stokes import polarization_from_name
 _FLOAT_TYPES = {"Float64": np.float64, "Float32": np.float32}
 
 
-_NUM_EXPR_RE = re.compile(r"^[\d.eE+\-*/() ]+$")
+def _eval_ast(node):
+    """Recursively evaluate a whitelisted arithmetic AST — no eval()."""
+    if isinstance(node, ast.Expression):
+        return _eval_ast(node.body)
+    if isinstance(node, ast.Constant) and isinstance(node.value, (int, float)):
+        return float(node.value)
+    if isinstance(node, ast.UnaryOp):
+        v = _eval_ast(node.operand)
+        if isinstance(node.op, ast.USub):
+            return -v
+        if isinstance(node.op, ast.UAdd):
+            return v
+    if isinstance(node, ast.BinOp):
+        a, b = _eval_ast(node.left), _eval_ast(node.right)
+        if isinstance(node.op, ast.Add):
+            return a + b
+        if isinstance(node.op, ast.Sub):
+            return a - b
+        if isinstance(node.op, ast.Mult):
+            return a * b
+        if isinstance(node.op, ast.Div):
+            return a / b
+        if isinstance(node.op, ast.Pow):
+            return a ** b
+    raise ValueError(f"disallowed syntax in numeric expression: "
+                     f"{ast.dump(node)[:80]}")
 
 
 def _eval_number(tok: str) -> float:
     """Evaluate a numeric token that may be a Julia-style arithmetic
-    expression like '(1e7/770)' (IO band syntax)."""
+    expression like '(1e7/770)' (IO band syntax) — parsed through a
+    whitelisted AST walk, never eval()."""
     tok = tok.strip()
     try:
         return float(tok)
     except ValueError:
         pass
-    if not _NUM_EXPR_RE.match(tok):
-        raise ValueError(f"not a numeric expression: {tok!r}")
-    return float(eval(tok, {"__builtins__": {}}, {}))
+    try:
+        return float(_eval_ast(ast.parse(tok, mode="eval")))
+    except (SyntaxError, ZeroDivisionError) as e:
+        raise ValueError(f"not a numeric expression: {tok!r}") from e
 
 
 def _split_band_range(s: str):
@@ -230,6 +258,9 @@ def parameters_from_dict(d: dict) -> Parameters:
         raise KeyError("radiative_transfer.nstreams (or legacy l_trunc) required")
 
     trunc_name, _, _ = _parse_ctor(rt.get("truncation", "AutoTruncation()"))
+    quad_name, _, _ = _parse_ctor(rt.get("quadrature_type", "GaussLegQuad()"))
+    if quad_name not in ("GaussLegQuad", "RadauQuad"):
+        raise ValueError(f"Unknown quadrature_type: {quad_name}")
 
     float_type = _FLOAT_TYPES[rt.get("float_type", "Float64")]
 
@@ -253,11 +284,31 @@ def parameters_from_dict(d: dict) -> Parameters:
         depol=float(rt.get("depol", -1)),
         float_type=float_type,
         truncation=trunc_name,
+        quadrature=quad_name,
         absorption_params=_parse_absorption(d.get("absorption")),
         scattering_params=_parse_scattering(d.get("scattering")),
     )
 
 
-def parameters_from_yaml(path: str) -> Parameters:
+def parameters_from_file(path: str, validate: bool = True) -> Parameters:
+    """Parameters from a YAML/TOML/JSON scene file (reference
+    parameters_from_file, IO/IO.jl:71-106), schema-validated by default
+    against the vendored reference JSON schema."""
+    from .formats import load_config, validate_config
+    d = load_config(_expand_env(path))
+    if validate:
+        validate_config(d)
+    return parameters_from_dict(d)
+
+
+def parameters_from_yaml(path: str, validate: bool = True) -> Parameters:
     with open(_expand_env(path)) as f:
-        return parameters_from_dict(yaml.safe_load(f))
+        d = yaml.safe_load(f)
+    if validate:
+        from .formats import validate_config
+        validate_config(d)
+    return parameters_from_dict(d)
+
+
+def parameters_from_toml(path: str, validate: bool = True) -> Parameters:
+    return parameters_from_file(path, validate=validate)
