@@ -35,4 +35,5 @@ __version__ = "0.1.0"
 
 from .core.model import model_from_parameters  # noqa: E402,F401
 from .core.solver import rt_run  # noqa: E402,F401
-from .io.yaml_input import parameters_from_yaml, parameters_from_dict  # noqa: E402,F401
+from .io.yaml_input import (parameters_from_yaml, parameters_from_dict,  # noqa: E402,F401
+                            parameters_from_file, parameters_from_toml)  # noqa: E402,F401

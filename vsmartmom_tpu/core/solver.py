@@ -220,10 +220,7 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
     # Whole-moment fused path (ops/fused_band.py): precompute the
     # moment-independent f64-accurate transcendental precursors once —
     # the kernel consumes them so its numerics match kernels.elemental.
-    # Mosaic block constraint: spectral width must be <= 128 or a multiple
-    # of 128 for the band kernel's scalar block specs.
-    use_band = bool(config.fused) and nz >= 1 \
-        and (n_spec <= 128 or n_spec % 128 == 0)
+    use_band = bool(config.fused) and nz >= 1
     if use_band:
         from .kernels import _exp, _expm1
         dtau_z = tau / (2.0 ** config.ndoubl)                  # (nz, s)

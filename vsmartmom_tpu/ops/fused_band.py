@@ -1,33 +1,38 @@
-"""Whole-moment fused Pallas kernel: elemental -> pack -> ladder -> adding
-for ALL layers of one Fourier moment in a single VMEM-resident kernel.
+"""Whole-moment fused Pallas kernel: elemental matrices + doubling ladder +
+adding for ALL layers of one Fourier moment, VMEM-resident.
 
-Round-3 profiler finding: with the per-layer fused kernel
-(ops/fused_rt.py), the kernel itself is only ~40% of the solve — the XLA
-elemental assembly (big (s, N, N) elementwise fusions), the block-diagonal
-packing scatters, and the layer-scan carry copies cost more than the MXU
-work they feed. This kernel moves the entire per-moment pipeline inside
-Pallas:
+Round-3 profiler finding: with the per-layer fused kernel (ops/fused_rt.py)
+the kernel is only ~40% of the solve — the XLA elemental assembly (big
+(s, N, N) elementwise fusions), the block-diagonal packing scatters, and
+the layer-scan carry copies cost more than the MXU work they feed. This
+kernel moves the O(s N^2) matrix pipeline inside Pallas:
 
-* grid = (spectral blocks, nz) with ``("parallel", "arbitrary")``
-  dimension semantics: the composite operators live in VMEM scratch across
-  the layer dimension (the canonical Pallas accumulator pattern), so HBM
-  sees per-layer SCALARS (tau, weights, precursors) in and one composite
-  out per moment — the (s, N, N) elemental operators never exist in HBM;
-* the mixed phase matrix sum_c w_c Z_c / tau, the cancellation-free
-  elemental assembly (Fell 1997 finite-dtau operators, behavioral
-  reference CoreKernel/elemental.jl:63-392), the solar/thermal source
-  vectors, the D-matrix starring, and the block-diagonal packing
-  (ops/packing.py) all happen on the VPU in VMEM;
-* f64-sensitive transcendentals (expm1(-dtau/mu) precursors, beam
-  attenuation — see core/kernels._exp) stay OUTSIDE in XLA on small
-  (nz, s, N) arrays; the kernel consumes them as inputs, so the numerics
-  match core/kernels.elemental exactly;
-* per-moment scalars (fourier_w, is_m0) are folded into the INPUTS
-  (F0_m = fourier_w * F0, thermal zeroed for m > 0, weight row
-  wct = fourier_w * wt), so one kernel compilation serves every moment.
+* grid = (spectral blocks, nz) with ("parallel", "arbitrary") semantics:
+  the composite operators live in VMEM scratch across the layer dimension
+  (the canonical Pallas accumulator pattern), so per moment HBM sees
+  per-layer ROW TABLES (O(s N)) in and one composite out — the (s, N, N)
+  elemental operators never exist in HBM;
+* the kernel is PACKED-NATIVE: all operands arrive pre-shaped in the
+  block-diagonal packed layout (ops/packing.py: p consecutive points share
+  one (pN, pN) operator). Mosaic layout rules (measured on this toolchain,
+  scripts/probe_mosaic_casts.py) allow 2D->3D expands into tiled dims,
+  leading-dim reshapes, concats and batched dots — but NOT relayouts of a
+  1-D lane vector into the leading batch dim, which is exactly what
+  per-point scalar broadcasts need. So every per-(layer, point) scalar is
+  pre-broadcast to its rows in XLA ((nz, bp, Np) tables — free reshapes /
+  tiny elementwise) and the kernel only ever does supported casts;
+* O(s N) source vectors (solar/thermal j0, expk rows) are built in XLA
+  (they reuse the f64-accurate expm1/exp precursors of core/kernels, so
+  numerics match the unfused path bit-for-bit at f32) — only the O(s N^2)
+  matrix assembly and the O(s N^3 ndoubl) ladder run in-kernel;
+* the doubling ladder and interaction reuse _doubling_math /
+  _interaction_math from ops/fused_rt.py — the same algebra as the XLA
+  path (NS-schedule inverse, push-through identity, column-concatenated
+  source dots).
 
-The doubling ladder and interaction reuse _doubling_math /
-_interaction_math from ops/fused_rt.py — same algebra as the XLA path.
+Behavioral reference for the elemental formulas:
+/root/reference/src/CoreRT/CoreKernel/elemental.jl:63-392 (Fell 1997 exact
+finite-dtau operators); bar to beat: ext/gpu_batched_cuda.jl:133-233.
 """
 
 from functools import partial
@@ -42,184 +47,87 @@ from .fused_rt import _doubling_math, _interaction_math, _norm_sched
 
 _I0 = np.int32(0)
 
+# geom table rows
+_RG, _A, _INVD, _SAME, _EYE, _TO, _TS, _DI, _DJ, _SGN = range(10)
+
 
 def _expm1_s(x):
     """expm1 for Mosaic (no expm1 primitive): 6-term Horner series for
-    |x| < 0.3 (rel err < 1e-7, below f32 eps), exp(x) - 1 elsewhere
-    (rel err ~ eps/|expm1| < 4e-7 there)."""
+    |x| < 0.3 (rel err < 1e-7, below f32 eps), exp(x) - 1 elsewhere."""
     series = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
         1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0))))))
     return jnp.where(jnp.abs(x) < 0.3, series, jnp.exp(x) - 1.0)
 
 
-def _bspec(block_shape, index_map):
-    return pl.BlockSpec(block_shape, index_map, memory_space=pltpu.VMEM)
-
-
-def _moment_kernel(Zpp_ref, Zmp_ref, tau_ref, w_ref, Em1_ref, Em10_ref,
-                   att_ref, ek_ref, th_ref, F0_ref, aux_ref,
+def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
+                   jp_ref, jms_ref, ekr_ref,
                    Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
                    Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s,
-                   *, nz, ns_sched, ns_inter, pack, n_stokes, i_mu0_start,
-                   n_sources):
-    """One (spectral-block, layer) grid step.
+                   *, nz, ns_sched, ns_inter):
+    """One (spectral-block, layer) grid step; all shapes packed.
 
-    Refs (b = raw spectral block, C = components, N = raw supermatrix dim):
-      Zpp/Zmp  (C, N, N)   per-moment phase supermatrices (bcast)
-      tau      (1, b)      layer total optical depth
-      w        (C, b)      layer scattering weights tau_c * pi_c
-      Em1      (1, b, N)   expm1(-dtau/mu) precursor (f64-accurate, f32)
-      Em10     (1, b)      expm1(-dtau/mu0)
-      att      (1, b)      exp(-tau_sum_above/mu0) beam attenuation
-      ek       (1, b)      exp(-dtau/mu0) solar doubling factor
-      th       (1, b)      2pi (1-ssa) B thermal magnitude (0 unless m=0
-                           and thermal active; includes the is_m0 mask)
-      F0       (ns, b)     fourier_w-scaled solar Stokes vector
-      aux      (8, N)      rows: 0 qp_mu_N, 1 wct = fourier_w*wt_mu_N,
-                           2 d_vec, 3 is_I mask, 4 in_solar_block mask
-    Scratch (packed dims bp = b/pack, Np = pack*N):
-      *_s      (bp, Np, Np) / (bp, Np, K) composite accumulators
+    Refs (bp = packed block, Np = pack*N, C = components, K = sources):
+      Zpp/Zmp (C, Np, Np)  block-diag tiled phase supermatrices
+      geom    (10, Np, Np) static geometry tables (row indices _RG.._SGN)
+      wrow    (1, C, bp, Np)  (w_c/tau) [x fourier factor] per row
+      Em1     (1, bp, Np)  expm1(-dtau/mu_row) precursor
+      dt      (1, bp, Np)  dtau per row
+      jp/jms  (1, bp, Np, K)  elemental sources (jms pre-starred)
+      ekr     (1, bp, Np, K)  per-row doubling attenuation factors
+    Scratch: composite accumulators carried over the layer grid dim.
     """
     z = pl.program_id(1)
-    N = Zpp_ref.shape[-1]
-    b = tau_ref.shape[-1]           # scalar refs are (1, 1, b)
-    bp = b // pack
-    Np = pack * N
-    K = n_sources
     dtype = Zpp_ref.dtype
+    bp, Np = Em1_ref.shape[1], Em1_ref.shape[2]
 
-    qp = aux_ref[0]
-    wct = aux_ref[1]
-    d_vec = aux_ref[2]
-    is_I = aux_ref[3]
-    in_blk = aux_ref[4]
-
-    # ---- composite init at the first layer: vacuum (R=0, T=I, J=0) ----
     @pl.when(z == 0)
     def _init():
-        rows = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
-        eye = (rows == cols).astype(dtype)[None]
+        eye = geom_ref[_EYE][None]
         zero = jnp.zeros((bp, Np, Np), dtype)
         Rmp_s[:] = zero
         Rpm_s[:] = zero
         Tpp_s[:] = eye + zero
         Tmm_s[:] = eye + zero
-        Jp_s[:] = jnp.zeros((bp, Np, K), dtype)
-        Jm_s[:] = jnp.zeros((bp, Np, K), dtype)
+        Jp_s[:] = jnp.zeros_like(Jp_s)
+        Jm_s[:] = jnp.zeros_like(Jm_s)
 
-    # ---- elemental assembly (core/kernels.elemental, in VMEM) ----
-    tau = tau_ref[0, 0]                      # (b,)
-    w = w_ref[0]                             # (C, b)
-    Em1 = Em1_ref[0]                         # (b, N)
-    E = 1.0 + Em1
-    Em1_0 = Em10_ref[0, 0]                   # (b,)
-    att = att_ref[0, 0]
-    ndoubl = len(ns_sched)
-    safe_tau = jnp.where(tau > 0, tau, 1.0)
-    dtau = tau / (2.0 ** ndoubl)
+    # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
+    Em1 = Em1_ref[0]                         # (bp, Np)
+    dt = dt_ref[0]
+    E_j = 1.0 + Em1[:, None, :]
+    E_i = 1.0 + Em1[:, :, None]
 
-    # wZ = sum_c w_c Z_c / tau  -> (b, N, N)
-    wZ_pp = jnp.zeros((b, N, N), dtype)
-    wZ_mp = jnp.zeros((b, N, N), dtype)
-    for c in range(w.shape[0]):
-        wc = (w[c] / safe_tau)[:, None, None]
-        wZ_pp = wZ_pp + wc * Zpp_ref[c][None]
-        wZ_mp = wZ_mp + wc * Zmp_ref[c][None]
+    # wZ = [sum_c (w_c/tau) Z_c]  with per-point scalars as row products —
+    # valid on block-diagonal operators (off-blocks are zero in Zbd).
+    wrow = wrow_ref[0]                       # (C, bp, Np)
+    wZ_pp = Zpp_ref[0][None] * wrow[0][:, :, None]
+    wZ_mp = Zmp_ref[0][None] * wrow[0][:, :, None]
+    for c in range(1, wrow.shape[0]):
+        wZ_pp = wZ_pp + Zpp_ref[c][None] * wrow[c][:, :, None]
+        wZ_mp = wZ_mp + Zmp_ref[c][None] * wrow[c][:, :, None]
 
-    mu_i = qp[:, None]
-    mu_j = qp[None, :]
-    r_geom = (mu_j / (mu_i + mu_j)) * wct[None, :]
     one_m_EE = -(Em1[:, :, None] + Em1[:, None, :]
                  + Em1[:, :, None] * Em1[:, None, :])
-    r_mp = wZ_mp * r_geom[None] * one_m_EE
+    r_mp = wZ_mp * geom_ref[_RG][None] * one_m_EE
 
-    same_mu = (jnp.abs(mu_i - mu_j)
-               <= 1e-9 * jnp.maximum(mu_i, mu_j))
-    delta = jnp.where(same_mu, 1.0, mu_i - mu_j)
-    d3 = dtau[:, None, None]
-    ratio = _expm1_s(d3 * (delta / (mu_i * mu_j))[None]) / delta[None]
-    t_off = wZ_pp * (mu_j * wct[None, :])[None] * E[:, None, :] * ratio
-    t_same = E[:, None, :] * wZ_pp * (d3 / mu_i[None]) * wct[None, None, :]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-    beer = E[:, :, None] * (rows == cols).astype(dtype)[None]
-    t_pp = jnp.where(same_mu[None], t_same + beer, t_off)
+    ratio = _expm1_s(dt[:, :, None] * geom_ref[_A][None]) \
+        * geom_ref[_INVD][None]
+    t_off = wZ_pp * geom_ref[_TO][None] * E_j * ratio
+    t_same = E_j * wZ_pp * (dt[:, :, None] * geom_ref[_TS][None])
+    beer = E_i * geom_ref[_EYE][None]
+    same = geom_ref[_SAME][None]
+    t_pp = same * (t_same + beer) + (1.0 - same) * t_off
 
-    # Solar sources (fourier_w folded into F0_ref).
-    sl0 = i_mu0_start
-    F0 = F0_ref[:]                           # (ns, b)
-    Zp_blk = Zpp_ref[:, :, sl0:sl0 + n_stokes]   # (C, N, ns)
-    Zm_blk = Zmp_ref[:, :, sl0:sl0 + n_stokes]
-    Zp_I0 = jnp.zeros((b, N), dtype)
-    Zm_I0 = jnp.zeros((b, N), dtype)
-    for c in range(w.shape[0]):
-        wc = (w[c] / safe_tau)[:, None]
-        for k in range(n_stokes):
-            Zp_I0 = Zp_I0 + wc * F0[k][:, None] * Zp_blk[c, :, k][None]
-            Zm_I0 = Zm_I0 + wc * F0[k][:, None] * Zm_blk[c, :, k][None]
+    r_star = r_mp * geom_ref[_DI][None]
 
-    mu0 = qp[sl0]
-    dt = dtau[:, None]
-    E_0 = (1.0 + Em1_0)[:, None]
-    jp_in = Zp_I0 * (dt / qp[None, :]) * E
-    delta_s = jnp.where(in_blk > 0.5, 1.0, qp - mu0)[None, :]
-    jp_out = Zp_I0 * (mu0 / delta_s) * E_0 * \
-        _expm1_s(dt * delta_s / (qp[None, :] * mu0))
-    j_sol_p = jnp.where(in_blk[None, :] > 0.5, jp_in, jp_out)
-    one_m_EE0 = -(Em1 + Em1_0[:, None] + Em1 * Em1_0[:, None])
-    j_sol_m = Zm_I0 * (mu0 / (qp[None, :] + mu0)) * one_m_EE0
-    j_sol_p = j_sol_p * att[:, None]
-    j_sol_m = j_sol_m * att[:, None]
-
-    ek_sol = ek_ref[0, 0]                    # (b,)
-    if K == 1:
-        j0_p = j_sol_p[..., None]
-        j0_m = j_sol_m[..., None]
-        ek_rows = jnp.broadcast_to((ek_sol[:, None])[..., None], (b, N, K))
-    else:
-        th = th_ref[0, 0]                    # (b,) premasked magnitude
-        j_th = th[:, None] * (-Em1) * is_I[None, :]
-        j0_p = jnp.stack([j_sol_p, j_th], axis=-1)
-        j0_m = jnp.stack([j_sol_m, j_th], axis=-1)
-        ek_rows = jnp.stack(
-            [jnp.broadcast_to(ek_sol[:, None], (b, N)),
-             jnp.ones((b, N), dtype)], axis=-1)
-
-    # ---- star + block-diagonal pack (ops/packing.py conventions) ----
-    r_star = r_mp * d_vec[None, :, None]
-    jm_star = j0_m * d_vec[None, :, None]
-
-    if pack > 1:
-        # Block-diagonal assembly by concatenation (Mosaic has no scatter):
-        # row-block q = [0 .. 0 | X_q | 0 .. 0], stacked along rows.
-        def blockdiag(x):
-            x4 = x.reshape(bp, pack, N, N)
-            zero = jnp.zeros((bp, N, N), dtype)
-            rows = []
-            for q in range(pack):
-                cols = [zero] * pack
-                cols[q] = x4[:, q]
-                rows.append(jnp.concatenate(cols, axis=2))
-            return jnp.concatenate(rows, axis=1)
-
-        rp = blockdiag(r_star)
-        tp = blockdiag(t_pp)
-        jpp = j0_p.reshape(bp, Np, K)
-        jmp = jm_star.reshape(bp, Np, K)
-        ekp = ek_rows.reshape(bp, Np, K)
-        d_p = jnp.concatenate([d_vec] * pack)
-    else:
-        rp, tp, jpp, jmp, ekp, d_p = (r_star, t_pp, j0_p, jm_star,
-                                      ek_rows, d_vec)
-
-    # ---- doubling ladder + interaction (shared algebra) ----
-    r, t, jp_v, jm_v = _doubling_math(rp, tp, jpp, jmp, ekp, ns_sched)
-    sgn = d_p[:, None] * d_p[None, :]
-    r_mp_l = r * d_p[None, :, None]
-    jm_u = jm_v * d_p[None, :, None]
-    r_pm_l = sgn[None] * r_mp_l
-    t_mm_l = sgn[None] * t
+    # ---- doubling ladder + adding (shared algebra with the XLA path) ----
+    r, t, jp_v, jm_v = _doubling_math(
+        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched)
+    d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
+    r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
+    jm_u = jm_v * d_col
+    r_pm_l = geom_ref[_SGN][None] * r_mp_l
+    t_mm_l = geom_ref[_SGN][None] * t
 
     out = _interaction_math(
         Rmp_s[:], Rpm_s[:], Tpp_s[:], Tmm_s[:], Jp_s[:], Jm_s[:],
@@ -227,7 +135,6 @@ def _moment_kernel(Zpp_ref, Zmp_ref, tau_ref, w_ref, Em1_ref, Em10_ref,
     for ref, val in zip((Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s), out):
         ref[:] = val
 
-    # ---- emit at the last layer ----
     @pl.when(z == nz - 1)
     def _emit():
         Rmp_o[:] = Rmp_s[:]
@@ -238,72 +145,155 @@ def _moment_kernel(Zpp_ref, Zmp_ref, tau_ref, w_ref, Em1_ref, Em10_ref,
         Jm_o[:] = Jm_s[:]
 
 
+def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
+    """Static (10, Np, Np) geometry stack in the packed layout.
+
+    Cross-block entries are garbage-safe: every term they feed is masked by
+    the block-diagonal Z (zero off-block) or the identity."""
+    qp = jnp.tile(qp_mu_N, pack)
+    wt = jnp.tile(wct, pack)
+    d = jnp.tile(d_vec, pack)
+    mu_i = qp[:, None]
+    mu_j = qp[None, :]
+    same = (jnp.abs(mu_i - mu_j) <= 1e-9 * jnp.maximum(mu_i, mu_j))
+    delta = jnp.where(same, 1.0, mu_i - mu_j)
+    Np = qp.shape[0]
+    eye = jnp.eye(Np, dtype=dtype)
+    tabs = [
+        (mu_j / (mu_i + mu_j)) * wt[None, :],      # _RG
+        delta / (mu_i * mu_j),                     # _A
+        1.0 / delta,                               # _INVD
+        same.astype(dtype),                        # _SAME
+        eye,                                       # _EYE
+        jnp.broadcast_to(mu_j * wt[None, :], (Np, Np)),   # _TO
+        wt[None, :] / mu_i,                        # _TS
+        jnp.broadcast_to(d[:, None], (Np, Np)),    # _DI
+        jnp.broadcast_to(d[None, :], (Np, Np)),    # _DJ
+        d[:, None] * d[None, :],                   # _SGN
+    ]
+    return jnp.stack([t.astype(dtype) for t in tabs])
+
+
 def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                  thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
                  *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
-                 n_stokes, i_mu0_start, n_sources=1, block=16,
+                 n_stokes, i_mu0_start, n_sources=1, block=128,
                  interpret=None):
     """Run all nz layers of one Fourier moment in one Pallas kernel.
 
     Shapes: Z (C, N, N); tau/Em1_0/att/ek_sol/thermal (nz, s);
-    scat_w (nz, C, s); Em1 (nz, s, N); F0_m (ns, s); aux vectors (N,).
-    Returns the packed composite tuple (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m)
-    with shapes (s/pack, pack*N, pack*N) / (s/pack, pack*N, K).
+    scat_w (nz, C, s); Em1 (nz, s, N); F0_m (ns, s); vectors (N,).
+    wct = fourier_weight * wt_mu_N and F0_m = fourier_weight * F0 (the
+    per-moment scalars are folded into the inputs so one compilation
+    serves every moment). Returns the packed composite tuple
+    (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m): (s/pack, pN, pN) / (s/pack, pN, K).
     """
     nz, s = tau.shape
     C, N, _ = Z_pp_m.shape
     K = n_sources
+    ns = F0_m.shape[0]
     assert s % pack == 0, (s, pack)
-    # Mosaic block rule: trailing block dim must be 128-divisible or the
-    # full array extent — so b = s for narrow batches, else 128 (callers
-    # guard s % 128 == 0; see solver use_band condition).
-    b = s if s <= 128 else 128
-    assert s % b == 0 and b % pack == 0, (s, b, pack)
-    bp = b // pack
+    bp_tot = s // pack
     Np = pack * N
-    grid = (s // b, nz)
+    dtype = Z_pp_m.dtype
     ns_sched = _norm_sched(ns_sched, ndoubl)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    aux = jnp.stack([qp_mu_N, wct, d_vec, is_I, in_blk,
-                     jnp.zeros_like(qp_mu_N), jnp.zeros_like(qp_mu_N),
-                     jnp.zeros_like(qp_mu_N)]).astype(Z_pp_m.dtype)
+    # ---- XLA-side prep: packed row tables + source vectors -------------
+    safe_tau = jnp.where(tau > 0, tau, 1.0)
+    w_over = scat_w / safe_tau[:, None, :]                  # (nz, C, s)
+    wrow = jnp.broadcast_to(w_over[..., None], (nz, C, s, N)) \
+        .reshape(nz, C, bp_tot, Np)
+    Em1p = Em1.reshape(nz, bp_tot, Np)
+    dtau = tau / (2.0 ** ndoubl)
+    dtp = jnp.broadcast_to(dtau[:, :, None], (nz, s, N)) \
+        .reshape(nz, bp_tot, Np)
 
-    # Scalar per-layer inputs as (nz, 1, s): the middle singleton makes the
-    # (1, 1, b) block legal (dim -2 equals the full extent 1).
-    tau3 = tau[:, None, :]
-    Em10_3 = Em1_0[:, None, :]
-    att3 = att[:, None, :]
-    ek3 = ek_sol[:, None, :]
-    th3 = thermal[:, None, :]
+    # Solar source vectors (kernels.elemental SFI algebra, f64-accurate
+    # precursors): Z columns at the solar block dotted with F0.
+    sl0 = i_mu0_start
+    Zp_blk = Z_pp_m[:, :, sl0:sl0 + ns]                     # (C, N, ns)
+    Zm_blk = Z_mp_m[:, :, sl0:sl0 + ns]
+    Zp_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zp_blk)
+    Zm_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zm_blk)
+
+    from ..core.kernels import _expm1
+    mu0 = qp_mu_N[sl0]
+    E = 1.0 + Em1                                           # (nz, s, N)
+    E_0 = (1.0 + Em1_0)[:, :, None]
+    dt3 = dtau[:, :, None]
+    jp_in = Zp_I0 * (dt3 / qp_mu_N[None, None, :]) * E
+    delta_s = jnp.where(in_blk > 0.5, 1.0, qp_mu_N - mu0)[None, None, :]
+    jp_out = Zp_I0 * (mu0 / delta_s) * E_0 * \
+        _expm1(dt3 * delta_s / (qp_mu_N[None, None, :] * mu0)).astype(dtype)
+    j_sol_p = jnp.where(in_blk[None, None, :] > 0.5, jp_in, jp_out)
+    one_m_EE0 = -(Em1 + Em1_0[:, :, None] + Em1 * Em1_0[:, :, None])
+    j_sol_m = Zm_I0 * (mu0 / (qp_mu_N[None, None, :] + mu0)) * one_m_EE0
+    att3 = att[:, :, None]
+    j_sol_p = j_sol_p * att3
+    j_sol_m = j_sol_m * att3
+
+    ek3 = jnp.broadcast_to(ek_sol[:, :, None], (nz, s, N))
+    if K == 1:
+        j0_p = j_sol_p[..., None]
+        j0_m = j_sol_m[..., None]
+        ekr = ek3[..., None]
+    else:
+        j_th = thermal[:, :, None] * (-Em1) * is_I[None, None, :]
+        j0_p = jnp.stack([j_sol_p, j_th], axis=-1)
+        j0_m = jnp.stack([j_sol_m, j_th], axis=-1)
+        ekr = jnp.stack([ek3, jnp.ones_like(ek3)], axis=-1)
+    jm_star = j0_m * d_vec[None, None, :, None]
+    j0_p = j0_p.reshape(nz, bp_tot, Np, K).astype(dtype)
+    jm_star = jm_star.reshape(nz, bp_tot, Np, K).astype(dtype)
+    ekr = ekr.reshape(nz, bp_tot, Np, K).astype(dtype)
+
+    Zbd_pp = jnp.stack([jnp.kron(jnp.eye(pack, dtype=dtype), Z_pp_m[c])
+                        for c in range(C)])
+    Zbd_mp = jnp.stack([jnp.kron(jnp.eye(pack, dtype=dtype), Z_mp_m[c])
+                        for c in range(C)])
+    geom = _geom_tables(qp_mu_N.astype(dtype), wct.astype(dtype),
+                        d_vec.astype(dtype), pack, dtype)
+
+    # Spectral blocking: bb packed points per program.
+    bb = bp_tot if bp_tot <= block else block
+    while bp_tot % bb:
+        bb //= 2
+    grid = (bp_tot // bb, nz)
+
+    def vmem(shape):
+        return pl.BlockSpec(shape, lambda i, z: (_I0,) * len(shape),
+                            memory_space=pltpu.VMEM)
 
     in_specs = [
-        _bspec((C, N, N), lambda i, z: (_I0, _I0, _I0)),     # Zpp
-        _bspec((C, N, N), lambda i, z: (_I0, _I0, _I0)),     # Zmp
-        _bspec((1, 1, b), lambda i, z: (z, _I0, i)),         # tau
-        _bspec((1, C, b), lambda i, z: (z, _I0, i)),         # scat_w
-        _bspec((1, b, N), lambda i, z: (z, i, _I0)),         # Em1
-        _bspec((1, 1, b), lambda i, z: (z, _I0, i)),         # Em1_0
-        _bspec((1, 1, b), lambda i, z: (z, _I0, i)),         # att
-        _bspec((1, 1, b), lambda i, z: (z, _I0, i)),         # ek
-        _bspec((1, 1, b), lambda i, z: (z, _I0, i)),         # thermal
-        _bspec((F0_m.shape[0], b), lambda i, z: (_I0, i)),   # F0
-        _bspec((8, N), lambda i, z: (_I0, _I0)),             # aux
+        vmem((C, Np, Np)),                                       # Zbd_pp
+        vmem((C, Np, Np)),                                       # Zbd_mp
+        vmem((10, Np, Np)),                                      # geom
+        pl.BlockSpec((1, C, bb, Np), lambda i, z: (z, _I0, i, _I0),
+                     memory_space=pltpu.VMEM),                   # wrow
+        pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
+                     memory_space=pltpu.VMEM),                   # Em1
+        pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
+                     memory_space=pltpu.VMEM),                   # dt
+        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
+                     memory_space=pltpu.VMEM),                   # jp
+        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
+                     memory_space=pltpu.VMEM),                   # jm_star
+        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
+                     memory_space=pltpu.VMEM),                   # ekr
     ]
-    mat_o = _bspec((bp, Np, Np), lambda i, z: (i, _I0, _I0))
-    vec_o = _bspec((bp, Np, K), lambda i, z: (i, _I0, _I0))
-    out_shapes = (
-        jax.ShapeDtypeStruct((s // pack, Np, Np), Z_pp_m.dtype),
-    ) * 4 + (
-        jax.ShapeDtypeStruct((s // pack, Np, K), Z_pp_m.dtype),
-    ) * 2
-    scratch = [pltpu.VMEM((bp, Np, Np), Z_pp_m.dtype)] * 4 + \
-              [pltpu.VMEM((bp, Np, K), Z_pp_m.dtype)] * 2
+    mat_o = pl.BlockSpec((bb, Np, Np), lambda i, z: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    vec_o = pl.BlockSpec((bb, Np, K), lambda i, z: (i, _I0, _I0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((bp_tot, Np, Np), dtype),) * 4 + \
+                 (jax.ShapeDtypeStruct((bp_tot, Np, K), dtype),) * 2
+    scratch = [pltpu.VMEM((bb, Np, Np), dtype)] * 4 + \
+              [pltpu.VMEM((bb, Np, K), dtype)] * 2
 
     kernel = partial(_moment_kernel, nz=nz, ns_sched=ns_sched,
-                     ns_inter=ns_inter, pack=pack, n_stokes=n_stokes,
-                     i_mu0_start=i_mu0_start, n_sources=n_sources)
+                     ns_inter=ns_inter)
     fn = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs,
@@ -312,8 +302,8 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    return fn(Z_pp_m, Z_mp_m, tau3, scat_w, Em1, Em10_3, att3, ek3,
-              th3, F0_m, aux)
+    return fn(Zbd_pp, Zbd_mp, geom, wrow.astype(dtype), Em1p.astype(dtype),
+              dtp.astype(dtype), j0_p, jm_star, ekr)
