@@ -51,6 +51,29 @@ class TestCEF:
         rel = np.abs(mine.real - exact.real) / np.abs(exact.real)
         assert rel.max() < 2e-4, rel.max()
 
+    def test_weideman_coeff_generator_matches_table(self):
+        """The FFT construction reproduces Weideman's published 32-term
+        Table I (the in-repo hardcoded values) to machine precision."""
+        from vsmartmom_tpu.absorption.voigt import (_WEIDEMAN32_A,
+                                                    weideman_coeffs)
+        np.testing.assert_allclose(weideman_coeffs(32), _WEIDEMAN32_A,
+                                   atol=1e-14)
+
+    def test_all_seven_cefs_vs_faddeeva(self):
+        """Every reference CEF variant (types.jl:120-141) within its
+        documented accuracy class against scipy wofz."""
+        import jax.numpy as jnp
+        from vsmartmom_tpu.absorption.voigt import CEFS
+        z = self._grid()
+        exact = wofz(z)
+        tol = {"CPF12ErrorFunction": 2e-2,            # Humlicek-1979 class
+               "ErfcErrorFunction": 1e-8}             # Weideman-64 far wing
+        assert len(CEFS) == 7
+        for name, f in CEFS.items():
+            mine = np.asarray(f(jnp.asarray(z)))
+            rel = np.abs(mine.real - exact.real) / np.abs(exact.real)
+            assert rel.max() < tol.get(name, 2e-4), (name, rel.max())
+
 
 class TestHitranMeta:
     def test_mol_ids(self):
@@ -199,6 +222,41 @@ class TestLUT:
         # outside the table -> zero
         out = lut.interpolate(np.array([12000.0]), 500.0, 250.0)
         assert out[0] == 0.0
+
+    def test_cubic_beats_linear(self, o2_par):
+        """Cubic (reference BSpline order) interpolates T between table
+        nodes more accurately than linear on the same LUT."""
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13040.0, 13060.0, 0.05)
+        kw = dict(p_grid=np.linspace(50, 1050, 6),
+                  t_grid=np.linspace(180, 310, 6))
+        cub = make_interpolation_model(model, grid, order="cubic", **kw)
+        lin = make_interpolation_model(model, grid, order="linear", **kw)
+        T_mid = 0.5 * (kw["t_grid"][2] + kw["t_grid"][3])   # between nodes
+        direct = compute_absorption_cross_section(model, grid, 500.0, T_mid)
+        scale = direct.max()
+        err_c = np.abs(cub.interpolate(grid, 500.0, T_mid) - direct).max()
+        err_l = np.abs(lin.interpolate(grid, 500.0, T_mid) - direct).max()
+        assert err_c < err_l
+        assert err_c / scale < 0.02
+
+    def test_save_load_roundtrip(self, o2_par, tmp_path):
+        """LUT persistence (reference JLD2 save/load,
+        make_model_helpers.jl:113-119)."""
+        t = read_hitran(o2_par)
+        model = HitranModel(hitran=t, wing_cutoff=40.0)
+        grid = np.arange(13040.0, 13050.0, 0.1)
+        lut = make_interpolation_model(model, grid,
+                                       p_grid=np.linspace(50, 1050, 5),
+                                       t_grid=np.linspace(180, 310, 5))
+        path = str(tmp_path / "o2_lut.npz")
+        lut.save(path)
+        lut2 = InterpolationModel.load(path)
+        np.testing.assert_array_equal(lut.sigma, lut2.sigma)
+        assert lut2.order == lut.order
+        np.testing.assert_allclose(lut.interpolate(grid, 500.0, 250.0),
+                                   lut2.interpolate(grid, 500.0, 250.0))
 
 
 class TestWindowedKernel:

@@ -220,29 +220,63 @@ def compute_absorption_profile(model: HitranModel, grid, vmr, profile):
 
 @dataclass
 class InterpolationModel:
-    """Precomputed sigma LUT over (nu, p, T) with linear interpolation
-    (reference uses cubic BSplines; linear is within LUT-resolution error
-    for the shipped grids and keeps the interp jit-friendly)."""
+    """Precomputed sigma LUT over (nu, p, T).
+
+    Interpolation order matches the reference's scaled cubic BSpline
+    (compute_absorption_cross_section.jl:198-231) when every axis has
+    >= 4 samples; smaller axes fall back to linear per axis. Points
+    outside the nu table clamp to zero, p/T clamp to the table edge —
+    the reference's extrapolation behavior.
+    """
     sigma: np.ndarray            # (n_nu, n_p, n_t)
     nu_grid: np.ndarray
     p_grid: np.ndarray
     t_grid: np.ndarray
+    order: str = "cubic"         # "cubic" (reference default) or "linear"
+
+    def _method(self):
+        if self.order == "linear":
+            return "linear"
+        n = (len(self.nu_grid), len(self.p_grid), len(self.t_grid))
+        return "cubic" if min(n) >= 4 else "linear"
 
     def interpolate(self, grid, pressure, temperature):
         from scipy.interpolate import RegularGridInterpolator
+        # Normalize: scipy's cubic prefilter silently flushes data at
+        # cross-section magnitudes (~1e-23 cm^2) to zero.
+        scale = self.sigma.max() or 1.0
         itp = RegularGridInterpolator(
-            (self.nu_grid, self.p_grid, self.t_grid), self.sigma,
-            bounds_error=False, fill_value=None)
-        pts = np.stack([np.clip(grid, self.nu_grid[0], self.nu_grid[-1]),
-                        np.full_like(grid, pressure),
-                        np.full_like(grid, temperature)], axis=-1)
-        out = itp(pts)
+            (self.nu_grid, self.p_grid, self.t_grid), self.sigma / scale,
+            method=self._method(), bounds_error=False, fill_value=None)
+        grid = np.asarray(grid, dtype=np.float64)
+        pts = np.stack([
+            np.clip(grid, self.nu_grid[0], self.nu_grid[-1]),
+            np.full_like(grid, np.clip(pressure, self.p_grid[0],
+                                       self.p_grid[-1])),
+            np.full_like(grid, np.clip(temperature, self.t_grid[0],
+                                       self.t_grid[-1]))], axis=-1)
+        out = itp(pts) * scale
         out[(grid < self.nu_grid[0]) | (grid > self.nu_grid[-1])] = 0.0
-        return out
+        return np.clip(out, 0.0, None)    # cubic overshoot guard
+
+    # -- persistence (reference JLD2 save/load,
+    #    make_model_helpers.jl:113-119) --------------------------------
+    def save(self, path: str) -> None:
+        """Persist the LUT as a compressed .npz artifact."""
+        np.savez_compressed(path, sigma=self.sigma, nu_grid=self.nu_grid,
+                            p_grid=self.p_grid, t_grid=self.t_grid,
+                            order=np.array(self.order))
+
+    @classmethod
+    def load(cls, path: str) -> "InterpolationModel":
+        with np.load(path, allow_pickle=False) as d:
+            return cls(sigma=d["sigma"], nu_grid=d["nu_grid"],
+                       p_grid=d["p_grid"], t_grid=d["t_grid"],
+                       order=str(d["order"]))
 
 
 def make_interpolation_model(model: HitranModel, nu_grid, p_grid,
-                             t_grid) -> InterpolationModel:
+                             t_grid, order: str = "cubic") -> InterpolationModel:
     """Precompute the sigma LUT (make_model_helpers.jl:25-119)."""
     nu_grid = np.asarray(nu_grid, dtype=np.float64)
     sigma = np.zeros((len(nu_grid), len(p_grid), len(t_grid)))
@@ -252,4 +286,5 @@ def make_interpolation_model(model: HitranModel, nu_grid, p_grid,
                 model, nu_grid, p, t)
     return InterpolationModel(sigma=sigma, nu_grid=nu_grid,
                               p_grid=np.asarray(p_grid, dtype=np.float64),
-                              t_grid=np.asarray(t_grid, dtype=np.float64))
+                              t_grid=np.asarray(t_grid, dtype=np.float64),
+                              order=order)

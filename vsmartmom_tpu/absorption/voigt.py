@@ -77,10 +77,107 @@ def humlicek_w4(z):
                      jnp.where(s > 5.5, humlicek2(z), inner))
 
 
+# --- CPF12 (Humlicek 1979) ------------------------------------------------
+# (complex_error_functions.jl:97-232: 12-pole rational approximation, with
+# the exp(-x^2)-corrected variant in the far-wing low-y region.)
+_CPF12_T = np.array([0.3142403762544, 0.9477883912402, 1.5976826351526,
+                     2.2795070805011, 3.0206370251209, 3.88972489786978])
+_CPF12_A = np.array([-1.393236997981977, -0.2311524061886763,
+                     0.1553514656420944, -0.006218366236965554,
+                     9.190829861057117e-5, 6.275259577e-7])
+_CPF12_B = np.array([1.011728045548831, -0.7519714696746353,
+                     0.01255772699323164, 0.01002200814515897,
+                     -2.420681348155727e-4, 5.008480613664576e-7])
+
+
+def cpf12a(z):
+    """CPF12 region a: y > 0.85 or |x| < 18.1 y + 1.65."""
+    x, y = z.real, z.imag
+    ry = 1.5 + y
+    ryy = ry * ry
+    wk = jnp.zeros_like(x)
+    wl = jnp.zeros_like(x)
+    for t, a, b in zip(_CPF12_T, _CPF12_A, _CPF12_B):
+        dm, dp = x - t, x + t
+        qm, qp = dm * dm + ryy, dp * dp + ryy
+        wk = wk + (a * dm + b * ry) / qm - (a * dp - b * ry) / qp
+        wl = wl + (b * dm - a * ry) / qm + (b * dp + a * ry) / qp
+    return wk + 1j * wl
+
+
+def cpf12b(z):
+    """CPF12 region b: exp(-x^2) + correction terms (far wing, small y)."""
+    x, y = z.real, z.imag
+    cr, crr = 1.5, 2.25
+    ry = cr + y
+    y2r = y + 2 * cr
+    rry = cr * ry
+    ryry = ry * ry
+    wk = jnp.zeros_like(x)
+    wl = jnp.zeros_like(x)
+    for t, a, b in zip(_CPF12_T, _CPF12_A, _CPF12_B):
+        dm, dp = x - t, x + t
+        dm2, dp2 = dm * dm, dp * dp
+        wk = wk + (b * (dm2 - rry) - a * dm * y2r) / ((dm2 + crr) * (dm2 + ryry)) \
+            + (b * (dp2 - rry) + a * dp * y2r) / ((dp2 + crr) * (dp2 + ryry))
+        wl = wl + (b * dm - a * ry) / (dm2 + ryry) \
+            + (b * dp + a * ry) / (dp2 + ryry)
+    return jnp.exp(-x * x) + y * wk + 1j * wl
+
+
+def cef_cpf12(z):
+    """CPF12ErrorFunction (complex_error_functions.jl:224-232)."""
+    in_a = (jnp.abs(z.real) < 18.1 * z.imag + 1.65) | (z.imag > 0.85)
+    return jnp.where(in_a, cpf12a(z), cpf12b(z))
+
+
+# --- erfc-based family ----------------------------------------------------
+def weideman_coeffs(n: int) -> np.ndarray:
+    """Weideman (1994) rational-approximation coefficients, eq. (38.I):
+    FFT construction (the published Table I values for n = 32 reproduce to
+    ~1e-15 — gated by tests/test_absorption CEF suite). Returned in
+    ascending order a_1..a_n matching the Horner loop in weideman32."""
+    m = 2 * n
+    L = np.sqrt(n / np.sqrt(2.0))
+    k = np.arange(-m + 1, m)
+    theta = k * np.pi / m
+    t = L * np.tan(theta / 2.0)
+    f = np.exp(-t * t) * (L * L + t * t)
+    f = np.concatenate([[0.0], f])
+    a = np.real(np.fft.fft(np.fft.fftshift(f))) / (2 * m)
+    return a[1:n + 1]
+
+
+_WEIDEMAN64_A = weideman_coeffs(64)
+_L64 = float(np.sqrt(64.0 / np.sqrt(2.0)))
+
+
+def weideman64(z):
+    """64-term Weideman faddeeva: matches SpecialFunctions.erfcx(-iz) to
+    ~1e-14 for y >= 0 — the jittable stand-in for the reference's
+    erfc-special-function CEFs (complex_error_functions.jl:270-300),
+    which call into libm's complex erfc (no XLA equivalent)."""
+    iz = 1j * z.real - z.imag
+    rec = 1.0 / (_L64 - iz)
+    Z = (_L64 + iz) * rec
+    poly = jnp.zeros_like(Z) + _WEIDEMAN64_A[-1]
+    for a in _WEIDEMAN64_A[-2::-1]:
+        poly = poly * Z + a
+    return (_SQRT_PI_INV + 2.0 * poly * rec) * rec
+
+
 CEFS = {
     "HumlicekWeidemann32SDErrorFunction": cef_humlicek_weideman32,
     "HumlicekWeidemann32VoigtErrorFunction":
         lambda z: jnp.where(jnp.abs(z.real) + z.imag > 15.0,
                             humlicek1(z), weideman32(z)),
     "HumlicekErrorFunction": humlicek_w4,
+    "CPF12ErrorFunction": cef_cpf12,
+    "ErfcErrorFunction": weideman64,
+    "ErfcHumliErrorFunctionVoigt":
+        lambda z: jnp.where(jnp.abs(z.real) + z.imag > 15.0,
+                            humlicek1(z), weideman64(z)),
+    "ErfcHumliErrorFunctionSD":
+        lambda z: jnp.where(jnp.abs(z.real) + z.imag >= 8.0,
+                            humlicek2(z), weideman64(z)),
 }
