@@ -86,6 +86,14 @@ def main():
         mesh = spectral_mesh(devices[:n_dev])
         sharded = shard_inputs(inputs, mesh)
         fn = jax.jit(lambda x: rt_solve(x, config)["R"])
+        if args.audit:
+            txt = fn.lower(sharded).compile().as_text()
+            colls = {op: txt.count(op) for op in
+                     ("all-reduce", "all-gather", "collective-permute",
+                      "all-to-all", "reduce-scatter")}
+            print(f"# n_dev={n_dev} collectives in compiled HLO: "
+                  f"{ {k: v for k, v in colls.items() if v} or 'none'}",
+                  flush=True)
         fn(sharded).block_until_ready()          # compile
 
         times = []

@@ -53,6 +53,7 @@ class Parameters:
     dtau_min_floor: Optional[float] = None
     include_solar: bool = True          # zero F0 for thermal-only (TIR) runs
     quadrature: str = "GaussLegQuad"    # or "RadauQuad" (SZA as weighted node)
+    verbose: bool = False               # print the per-stage timing table
     # TPU execution knobs (None = auto by backend; see build_band):
     fused: Optional[bool] = None        # Pallas fused layer path
     pack: Optional[int] = None          # block-diagonal spectral pack factor
@@ -627,14 +628,21 @@ def model_from_parameters(params: Parameters) -> RTModel:
         else:
             depol_ray = depol_cab = float(params.depol)
 
-        tau_rayl = rayleigh_layer_tau(profile.p_half[-1], lam_um, depol_ray,
-                                      profile.vcd_dry)        # (nSpec, Nz)
-        tau_abs, tau_abs_by_mol = _build_band_absorption(params, profile, nu, i_band)
+        from ..utils import timing
+        with timing.stage(f"rayleigh[{i_band}]"):
+            tau_rayl = rayleigh_layer_tau(profile.p_half[-1], lam_um,
+                                          depol_ray,
+                                          profile.vcd_dry)    # (nSpec, Nz)
+        with timing.stage(f"absorption[{i_band}]"):
+            tau_abs, tau_abs_by_mol = _build_band_absorption(
+                params, profile, nu, i_band)
 
         surface = params.surfaces[min(len(bands), len(params.surfaces) - 1)]
+        with timing.stage(f"mie[{i_band}]"):
+            band_aerosols = _build_band_aerosols(params, profile, nu)
         bands.append(BandData(nu_grid=nu, tau_rayl=tau_rayl, tau_abs=tau_abs,
                               greek_rayleigh=greek_rayleigh(depol_ray),
-                              aerosols=_build_band_aerosols(params, profile, nu),
+                              aerosols=band_aerosols,
                               depol_rayleigh=depol_ray,
                               depol_cabannes=depol_cab,
                               pi_cabannes=pi_cab, surface=surface,

@@ -244,14 +244,16 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
         p = config.pack
         if use_band:
             from ..ops.fused_band import fused_moment
-            comp = CompositeLayer(*fused_moment(
-                Z_pp_m, Z_mp_m, tau, scat_w, Em1_pre, Em10_pre, att_pre,
-                ek_pre, th_base * is_m0.astype(dtype), F0 * fw,
-                qp_mu_N, fw * wt_mu_N, d_vec, is_I_vec, in_blk_vec,
-                ndoubl=config.ndoubl, ns_sched=config.ns_sched or None,
-                ns_inter=config.ns_inter, pack=p,
-                n_stokes=config.n_stokes, i_mu0_start=config.i_mu0_start,
-                n_sources=config.n_sources))
+            with jax.named_scope("layers_fused"):
+                comp = CompositeLayer(*fused_moment(
+                    Z_pp_m, Z_mp_m, tau, scat_w, Em1_pre, Em10_pre,
+                    att_pre, ek_pre, th_base * is_m0.astype(dtype), F0 * fw,
+                    qp_mu_N, fw * wt_mu_N, d_vec, is_I_vec, in_blk_vec,
+                    ndoubl=config.ndoubl, ns_sched=config.ns_sched or None,
+                    ns_inter=config.ns_inter, pack=p,
+                    n_stokes=config.n_stokes,
+                    i_mu0_start=config.i_mu0_start,
+                    n_sources=config.n_sources))
         else:
             step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
                            qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,
@@ -263,8 +265,10 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
             # operator for MXU tile utilization.
             comp = identity_composite(n_spec // p, N * p, dtype,
                                       config.n_sources)
-            comp, _ = jax.lax.scan(step, comp,
-                                   (tau, scat_w, tau_sum[:nz], thermal_b))
+            with jax.named_scope("layer_scan"):
+                comp, _ = jax.lax.scan(step, comp,
+                                       (tau, scat_w, tau_sum[:nz],
+                                        thermal_b))
 
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
                               tau_sum[nz], mu0, sif_spec, is_m0, config, dtype)
@@ -275,7 +279,8 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
         else:
             from ..ops.packing import unpack_vec
             surf_p = surf
-        comp_out = interaction(comp, surf_p)
+        with jax.named_scope("surface_interaction"):
+            comp_out = interaction(comp, surf_p)
 
         # Azimuthal weighting (postprocessing_vza.jl:50-94), on-device:
         # R += w * sum_sources J0-(rows), T += w * sum_sources J0+(rows)
@@ -395,10 +400,14 @@ def rt_run_full(model):
     hdr/bhr through the Fourier scan). Cox-Munk surfaces get the TMS
     single-scatter glint correction applied post-Fourier (rt_run.jl:519-524).
     """
+    from ..utils import timing
     acc = {k: [] for k in ("R", "T", "hdr", "bhr_uw", "bhr_dw")}
     for i_band, band in enumerate(model.bands):
-        inputs, config = model.build_band(i_band)
-        out = rt_solve(inputs, config)
+        with timing.stage(f"build_band[{i_band}]"):
+            inputs, config = model.build_band(i_band)
+        with timing.stage(f"rt_solve[{i_band}]"):
+            out = rt_solve(inputs, config)
+            jax.block_until_ready(out)
         R = np.asarray(out["R"])
         if band.surface.kind == "CoxMunkSurface":
             from ..surfaces.coxmunk import CoxMunkSurface, tms_correction
@@ -421,6 +430,10 @@ def rt_run(model):
     bands, as radiance factors I/F0 (SFI outputs of the reference).
     """
     out = rt_run_full(model)
+    if getattr(model.params, "verbose", False) or __import__("os").environ.get(
+            "VSM_TIMING"):
+        from ..utils import timing
+        print(timing.report())
     return out["R"], out["T"]
 
 
