@@ -114,3 +114,40 @@ class TestSIF:
         # attenuated below 1/pi, nadir less attenuated than slant
         assert np.all(R[:, 0, :] < 1 / np.pi)
         assert R[0, 0, 0] > R[1, 0, 0]
+
+
+class TestSolarSpectrum:
+    def test_default_solar_spectrum_lines(self):
+        """The shipped default solar spectrum has a Planck continuum with
+        Fraunhofer dips at the classical line positions."""
+        from vsmartmom_tpu.solar import default_solar_spectrum
+        nu = np.arange(1e7 / 700.0, 1e7 / 380.0, 2.0)   # 380-700 nm
+        F = default_solar_spectrum(nu)
+        assert F.max() <= 1.0 + 1e-12 and F.min() > 0.0
+        wl = 1e7 / nu
+        # Ca II K and H-alpha dips present and deep
+        for wl0, min_depth in ((393.37, 0.5), (656.28, 0.5), (589.0, 0.4)):
+            i = np.argmin(np.abs(wl - wl0))
+            cont = np.median(F[max(0, i - 200):i + 200])
+            assert F[i] < (1.0 - min_depth) * cont, wl0
+
+    def test_f0_spec_plumbing(self):
+        """default_solar_spectrum drives the solver via band.f0_spec and
+        scales the radiance linearly."""
+        from vsmartmom_tpu.solar import default_solar_spectrum
+        params = _tir_params(include_solar=True)
+        model = model_from_parameters(params)
+        R0, _ = rt_run(model)
+        F = 0.5 * np.ones(model.bands[0].n_spec)
+        model.bands[0].f0_spec = F
+        R1, _ = rt_run(model)
+        assert np.allclose(R1, 0.5 * R0, rtol=1e-12)
+
+    def test_sif_default_shape(self):
+        """Shipped SIF emission shape peaks in the far-red (~740 nm)."""
+        from vsmartmom_tpu.sif import default_sif_spectrum
+        nu = np.arange(1e7 / 800.0, 1e7 / 650.0, 2.0)
+        f = default_sif_spectrum(nu)
+        wl_peak = 1e7 / nu[np.argmax(f)]
+        assert 720.0 < wl_peak < 760.0
+        assert np.isclose(f.max(), 0.5 * np.pi)

@@ -396,6 +396,14 @@ def rt_run_full(model):
     inelastic slots — see inelastic.rt_run_inelastic for ieR/ieT) as a dict
     with keys R, T, hdr, bhr_uw, bhr_dw, each concatenated over bands.
 
+    Canopy-scene divergence from the reference: for CanopySurface scenes the
+    direct-beam j0+ slot at canopy top carries the soil-reflected direct
+    beam (canopy-top fields), where the reference zeroes it
+    (canopy_surface.jl:459). This gives LAI->0 continuity with the bare-soil
+    scene and the conservative bhr_uw == bhr_dw invariant, but T and bhr_dw
+    for canopy scenes include the direct beam with only above-canopy
+    attenuation and will not match reference values even when R does.
+
     One rt_solve per band computes all outputs (the solver already carries
     hdr/bhr through the Fourier scan). Cox-Munk surfaces get the TMS
     single-scatter glint correction applied post-Fourier (rt_run.jl:519-524).
