@@ -299,6 +299,24 @@ class RTModel:
         self.vza_idx = tuple(nearest_index(quad.qp_mu, np.cos(np.deg2rad(v)))
                              for v in params.vza)
 
+    def __repr__(self):
+        """Reference-style model banner (tools/show_utils.jl)."""
+        p = self.params
+        lines = [f"RTModel  {p.polarization.name}  nstreams={p.nstreams} "
+                 f"(Nquad={self.quad.Nquad})  sza={p.sza:.1f}  "
+                 f"vza={[float(v) for v in p.vza]}  Nz={self.profile.nz}  "
+                 f"f{np.dtype(p.float_type).itemsize*8}"]
+        for i, b in enumerate(self.bands):
+            nu = b.nu_grid
+            aer = f", {len(b.aerosols)} aerosol(s)" if b.aerosols else ""
+            abs_ = ", abs" if np.any(b.tau_abs) else ""
+            lines.append(
+                f"  band[{i}]: {nu.min():.1f}-{nu.max():.1f} cm^-1 "
+                f"({b.n_spec} pts), m_max={self._band_m_max(b)}, "
+                f"{b.surface.kind}{aer}{abs_}, "
+                f"tau_rayl={np.asarray(b.tau_rayl).sum(axis=-1).max():.4f}")
+        return "\n".join(lines)
+
     # -- convenience accessors used by tests mirroring the reference API --
     @property
     def tau_rayl(self):
