@@ -36,10 +36,10 @@ def one(N, s, nz, ndoubl, sched, pack, block, n_stokes=4, reps=10):
 if __name__ == "__main__":
     case = sys.argv[1] if len(sys.argv) > 1 else "small"
     if case == "small":
-        one(52, 64, 4, 4, (1, 1, 2, 2), 2, 32)
+        one(52, 64, 4, 4, (1, 1, 2, 2), 2, 8)
     elif case == "mid":
-        one(52, 128, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 64)
+        one(52, 128, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 8)
     elif case == "bench":
-        one(52, 512, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 64)
-    elif case == "bench32":
-        one(52, 512, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 32)
+        one(52, 512, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 8)
+    elif case == "bench16":
+        one(52, 512, 33, 8, (1, 1, 1, 1, 2, 2, 2, 2), 2, 16)

@@ -177,7 +177,7 @@ def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
 def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                  thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
                  *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
-                 n_stokes, i_mu0_start, n_sources=1, block=128,
+                 n_stokes, i_mu0_start, n_sources=1, block=8,
                  interpret=None):
     """Run all nz layers of one Fourier moment in one Pallas kernel.
 
@@ -256,7 +256,10 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     geom = _geom_tables(qp_mu_N.astype(dtype), wct.astype(dtype),
                         d_vec.astype(dtype), pack, dtype)
 
-    # Spectral blocking: bb packed points per program.
+    # Spectral blocking: bb packed points per program. Keep bb SMALL
+    # (default 8): Mosaic unrolls the batch dim of every dot, so compile
+    # time and VMEM scale ~linearly with bb while the MXU rate does not
+    # (each batched dot is bb independent (Np, Np) tile passes either way).
     bb = bp_tot if bp_tot <= block else block
     while bp_tot % bb:
         bb //= 2
