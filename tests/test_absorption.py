@@ -297,3 +297,47 @@ class TestWindowedKernel:
             d = compute_absorption_cross_section(model, grid, 500.0, 250.0,
                                                  force_dense=True)
             assert np.abs(w - d).max() / d.max() < 1e-6, broadening
+
+
+class TestArtifacts:
+    def test_register_lookup_provenance(self, o2_par, tmp_path, monkeypatch):
+        monkeypatch.setenv("VSM_HITRAN_DIR", str(tmp_path / "cache"))
+        from vsmartmom_tpu.absorption import artifacts as A
+        A.set_hitran_edition("testlocal")
+        assert not A.hitran_is_cached("O2")
+        with pytest.raises(FileNotFoundError, match="zero-egress"):
+            A.artifact("O2")
+        A.register_par("O2", o2_par)
+        assert A.hitran_is_cached("O2")
+        p = A.artifact("O2")
+        t = read_hitran(p)
+        assert len(t.nu) > 0
+        prov = A.hitran_provenance("O2")
+        assert prov["sha256"] and prov["edition"] == "testlocal"
+        # corruption detection
+        with open(p, "a") as f:
+            f.write("x")
+        with pytest.raises(ValueError, match="corruption"):
+            A.artifact("O2")
+        A.set_hitran_edition("local")
+
+    def test_model_uses_cache(self, o2_par, tmp_path, monkeypatch):
+        monkeypatch.setenv("VSM_HITRAN_DIR", str(tmp_path / "cache2"))
+        from vsmartmom_tpu.absorption import artifacts as A
+        from vsmartmom_tpu.core.model import (AbsorptionParams, Parameters,
+                                              SurfaceDescriptor,
+                                              model_from_parameters)
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+        A.set_hitran_edition("modeltest")
+        A.register_par("O2", o2_par)
+        params = Parameters(
+            spec_bands=[np.arange(13040.0, 13042.0, 0.2)],
+            surfaces=[SurfaceDescriptor("LambertianSurfaceScalar", [0.1])],
+            nstreams=3, polarization=STOKES_I, sza=30.0, vza=[0.0],
+            vaz=[0.0], obs_alt=0.0, T=np.array([250.0, 275.0]),
+            p=np.array([10.0, 500.0, 1000.0]),
+            absorption_params=AbsorptionParams(
+                molecules=[["O2"]], vmr={"O2": 0.21}))
+        model = model_from_parameters(params)
+        assert np.any(model.bands[0].tau_abs > 0)
+        A.set_hitran_edition("local")

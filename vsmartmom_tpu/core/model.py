@@ -579,17 +579,21 @@ def _build_band_absorption(params: Parameters, profile: AtmosphericProfile,
             tau_abs += tau_mol
             continue
         if mol_name not in ap.par_paths:
-            # The reference downloads hitran.org artifacts here; this
-            # environment is zero-egress, so we warn loudly and skip rather
-            # than fail every shipped fixture. Supply
-            # absorption_params.par_paths[mol] or a LUT for real absorption.
-            import warnings
-            warnings.warn(
-                f"No HITRAN line data for {mol_name} "
-                f"(band {i_band}): tau_abs contribution skipped. Provide "
-                f"absorption_params.par_paths['{mol_name}'] or a LUT.",
-                stacklevel=2)
-            continue
+            # Artifact-cache fallback (reference downloads hitran.org
+            # artifacts here; absorption/artifacts.py is the zero-egress
+            # registry with SHA-256 provenance).
+            from ..absorption.artifacts import artifact, hitran_is_cached
+            if hitran_is_cached(mol_name):
+                ap.par_paths[mol_name] = artifact(mol_name)
+            else:
+                import warnings
+                warnings.warn(
+                    f"No HITRAN line data for {mol_name} "
+                    f"(band {i_band}): tau_abs contribution skipped. "
+                    f"Provide absorption_params.par_paths['{mol_name}'], "
+                    f"register_par('{mol_name}', path), or a LUT.",
+                    stacklevel=2)
+                continue
         table = read_hitran(ap.par_paths[mol_name],
                             nu_min=nu.min() - ap.wing_cutoff,
                             nu_max=nu.max() + ap.wing_cutoff)

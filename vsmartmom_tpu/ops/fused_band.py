@@ -51,12 +51,13 @@ _I0 = np.int32(0)
 _RG, _A, _INVD, _SAME, _EYE, _TO, _TS, _DI, _DJ, _SGN = range(10)
 
 
-def _expm1_s(x):
-    """expm1 for Mosaic (no expm1 primitive): 6-term Horner series for
-    |x| < 0.3 (rel err < 1e-7, below f32 eps), exp(x) - 1 elsewhere."""
-    series = x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
+def _expm1_series(x):
+    """6-term Horner expm1 series: rel err < 1e-7 for |x| < 0.3 — pure
+    f32 arithmetic, no dependence on Mosaic's native exp (which is only
+    ~30 ulp and, amplified 2^ndoubl by the doubling ladder, breaks parity
+    with the XLA path at the 1e-3 level)."""
+    return x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
         1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0))))))
-    return jnp.where(jnp.abs(x) < 0.3, series, jnp.exp(x) - 1.0)
 
 
 def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
@@ -110,9 +111,16 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
                  + Em1[:, :, None] * Em1[:, None, :])
     r_mp = wZ_mp * geom_ref[_RG][None] * one_m_EE
 
-    ratio = _expm1_s(dt[:, :, None] * geom_ref[_A][None]) \
-        * geom_ref[_INVD][None]
-    t_off = wZ_pp * geom_ref[_TO][None] * E_j * ratio
+    # t_off ratio expm1(u_i - u_j)/delta with u = -dtau/mu, built WITHOUT
+    # Mosaic's native exp: the identity expm1(u_i - u_j) =
+    # (Em1_i - Em1_j)/E_j reuses the f64-accurate precursors; the pure-f32
+    # series covers the small-|x| region where that difference cancels.
+    # Note E_j cancels against the t_off E_j factor in the identity branch.
+    x = dt[:, :, None] * geom_ref[_A][None]        # = u_i - u_j
+    ratio_small = _expm1_series(x) * E_j * geom_ref[_INVD][None]
+    ratio_big = (Em1[:, :, None] - Em1[:, None, :]) * geom_ref[_INVD][None]
+    ratio_Ej = jnp.where(jnp.abs(x) < 0.3, ratio_small, ratio_big)
+    t_off = wZ_pp * geom_ref[_TO][None] * ratio_Ej
     t_same = E_j * wZ_pp * (dt[:, :, None] * geom_ref[_TS][None])
     beer = E_i * geom_ref[_EYE][None]
     same = geom_ref[_SAME][None]
