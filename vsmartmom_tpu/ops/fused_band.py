@@ -223,8 +223,13 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     sl0 = i_mu0_start
     Zp_blk = Z_pp_m[:, :, sl0:sl0 + ns]                     # (C, N, ns)
     Zm_blk = Z_mp_m[:, :, sl0:sl0 + ns]
-    Zp_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zp_blk)
-    Zm_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zm_blk)
+    # precision="highest": TPU einsum defaults to bf16 multiply passes
+    # (measured 2.7e-3 rel err, scripts/probe_mosaic_dot_prec.py) — enough
+    # to fail the 1e-4 fused-vs-plain parity gate through the sources.
+    Zp_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zp_blk,
+                       precision="highest")
+    Zm_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zm_blk,
+                       precision="highest")
 
     from ..core.kernels import _expm1
     mu0 = qp_mu_N[sl0]
