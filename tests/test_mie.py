@@ -169,3 +169,20 @@ class TestAerosolPipeline:
         assert aer.tau_profile.sum() > 0
         R, T = rt_run(model)
         assert np.all(np.isfinite(R)) and np.all(R[:, 0, :] > 0)
+
+
+class TestPCWAnchor:
+    """ADVICE r2: the regenerated PCW truth must stay within the original
+    (round-2, pre-regeneration) anchor's 1e-3 gate — guards against a
+    common-mode drift in the in-repo Mie/PCW pipeline silently moving the
+    self-generated truth (anchor extracted from git history commit
+    cea9564, tests/data/pcw_aerosol_optics_anchor.npz)."""
+
+    def test_truth_within_anchor_gate(self):
+        anchor = np.load(os.path.join(os.path.dirname(DATA),
+                                      "pcw_aerosol_optics_anchor.npz"))
+        current = np.load(DATA)
+        for k in ("alpha", "beta", "gamma", "delta", "epsilon", "zeta"):
+            assert np.abs(anchor[k] - current[k]).max() < 1e-3, k
+        assert np.isclose(anchor["ssa"], current["ssa"], atol=1e-6)
+        assert np.isclose(anchor["k"], current["k"], rtol=1e-8)
