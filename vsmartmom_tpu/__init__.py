@@ -31,6 +31,23 @@ import jax
 # selects f32 via RTModel's float dtype.
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the Pallas band kernel costs O(30-60 s) to
+# compile per shape (more on a congested AOT helper); cache survives across
+# processes. Opt out with VSM_NO_COMPILE_CACHE=1 or retarget VSM_CACHE_DIR.
+import os as _os  # noqa: E402
+
+if not _os.environ.get("VSM_NO_COMPILE_CACHE"):
+    _cache = _os.environ.get(
+        "VSM_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "vsmartmom_tpu",
+                      "xla"))
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass    # cache is best-effort; never block import
+
 __version__ = "0.1.0"
 
 from .core.model import model_from_parameters  # noqa: E402,F401
