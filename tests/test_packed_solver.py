@@ -83,6 +83,22 @@ class TestPathParity:
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                        rtol=5e-5, atol=1e-6, err_msg=k)
 
+    def test_split3d_interpret_matches_plain(self, baseline):
+        """The TPU-default dot mode (Beer-diagonal-compensated 3-pass bf16
+        splitting, fused_rt._doubling_math_split3d) must hold the same
+        parity class as exact-f32 dots: its MXU products only ever touch
+        the multiple-scattering ('small') parts, so the bf16 split error
+        scales with those, not with the O(1) Beer diagonal."""
+        from vsmartmom_tpu.core.solver import rt_solve
+        _, inputs, config, ref = baseline
+        cfg = dataclasses.replace(config, fused=True, pack=2,
+                                  ns_sched=(4,) * config.ndoubl, ns_inter=6,
+                                  dot_mode="split3d")
+        out = rt_solve(inputs, cfg)
+        for k in KEYS:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+
     def test_moment_split_matches_full(self, baseline):
         """Moments above m_scat (surface-only: Cox-Munk pushes m_max to the
         stream cap, Rayleigh scatters only to m = 2) must be exactly

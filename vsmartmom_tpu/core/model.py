@@ -58,6 +58,12 @@ class Parameters:
     fused: Optional[bool] = None        # Pallas fused layer path
     pack: Optional[int] = None          # block-diagonal spectral pack factor
     ns_auto: bool = True                # scene-derived NS iteration schedule
+    dot_mode: Optional[str] = None      # in-kernel matmul precision strategy
+                                        # (None = auto: "split3d" on the TPU
+                                        # fused path — Beer-diagonal-
+                                        # compensated 3-pass bf16 splitting,
+                                        # measured full parity at ~1.2x the
+                                        # exact-f32 rate; see fused_rt._bmm)
 
     @property
     def stream_l_cap(self) -> int:
@@ -459,12 +465,19 @@ class RTModel:
             [band.greek_rayleigh.l_max - 1]
             + [a.greek.l_max - 1 for a in band.aerosols]))
 
+        dot_mode = params.dot_mode
+        if dot_mode is None:
+            # split3d holds the 1e-4 fused-vs-plain parity gate (bench.py)
+            # and the F32 physics suites with margin (PERF.md r4 precision
+            # study) while cutting the ladder's MXU passes nearly in half.
+            dot_mode = "split3d" if fused else "highest"
         config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
                               nz=nz, m_max=m_max, ndoubl=int(ndoubl),
                               i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft,
                               n_sources=n_sources, fused=bool(fused),
                               pack=int(pack), ns_sched=ns_sched,
-                              ns_inter=int(ns_inter), m_scat=int(m_scat))
+                              ns_inter=int(ns_inter), m_scat=int(m_scat),
+                              dot_mode=str(dot_mode))
         inputs = SolverInputs(
             qp_mu_N=quad.qp_mu_N, wt_mu_N=quad.wt_mu_N,
             tau=tau, scat_w=scat_w, Z_pp=Z_pp, Z_mp=Z_mp, F0=F0,

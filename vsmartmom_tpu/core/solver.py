@@ -118,7 +118,8 @@ def _layer_step(comp, layer_data, *, d_vec, config: SolverConfig, **kw):
                 tuple(comp), r_star, pack_mat(t_pp, p), pack_vec(j0_p, p),
                 jm_star, ek_rows, d_p, config.ndoubl,
                 ns_sched=config.ns_sched or None, ns_inter=config.ns_inter,
-                block=pick_block(r_star.shape[0], Np))
+                block=pick_block(r_star.shape[0], Np),
+                dot_mode=config.dot_mode)
             return CompositeLayer(*out), None
         add = doubling(pack_mat(r_mp, p), pack_mat(t_pp, p),
                        pack_vec(j0_p, p), pack_vec(j0_m, p),
@@ -253,7 +254,8 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
                     ns_inter=config.ns_inter, pack=p,
                     n_stokes=config.n_stokes,
                     i_mu0_start=config.i_mu0_start,
-                    n_sources=config.n_sources))
+                    n_sources=config.n_sources,
+                    dot_mode=config.dot_mode))
         else:
             step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
                            qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,

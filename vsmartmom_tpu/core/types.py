@@ -47,6 +47,18 @@ class SolverConfig:
                          # Moments above it use the exact diagonal Beer-law
                          # shortcut (reference ScatteringInterface_00 traits,
                          # types.jl:424-435, done as a static split).
+    dot_mode: str = "highest"
+                         # In-kernel (Pallas) matmul precision for the fused
+                         # doubling/interaction ladder:
+                         #   "highest" — Mosaic exact-f32 dots (6 bf16 MXU
+                         #     passes; the reference's F32 BLAS equivalent);
+                         #   "split3"  — manual 3-pass bf16 hi/lo splitting
+                         #     (ops/fused_rt._bmm): ~2e-5 per-dot rel err,
+                         #     measured ~1.6x faster end-to-end (PERF.md r4).
+                         #     Mosaic rejects precision=HIGH, so XLA's 3-pass
+                         #     mode is re-derived by hand here;
+                         #   "default" — single bf16 pass (~4e-3/dot): fails
+                         #     the parity gate, measurement-only.
 
     @property
     def N(self) -> int:

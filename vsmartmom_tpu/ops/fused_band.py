@@ -64,7 +64,7 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
                    jp_ref, jms_ref, ekr_ref,
                    Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
                    Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s,
-                   *, nz, ns_sched, ns_inter):
+                   *, nz, ns_sched, ns_inter, dot_mode):
     """One (spectral-block, layer) grid step; all shapes packed.
 
     Refs (bp = packed block, Np = pack*N, C = components, K = sources):
@@ -129,8 +129,12 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
     r_star = r_mp * geom_ref[_DI][None]
 
     # ---- doubling ladder + adding (shared algebra with the XLA path) ----
+    # dot_mode "A/B" = ladder mode A, interaction mode B (probe syntax).
+    m_lad, _, m_int = dot_mode.partition("/")
+    m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
     r, t, jp_v, jm_v = _doubling_math(
-        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched)
+        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched, m_lad,
+        beer_diag=1.0 + Em1)
     d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
     r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
     jm_u = jm_v * d_col
@@ -139,7 +143,7 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
 
     out = _interaction_math(
         Rmp_s[:], Rpm_s[:], Tpp_s[:], Tmm_s[:], Jp_s[:], Jm_s[:],
-        r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter)
+        r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
     for ref, val in zip((Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s), out):
         ref[:] = val
 
@@ -186,7 +190,7 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                  thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
                  *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
                  n_stokes, i_mu0_start, n_sources=1, block=8,
-                 interpret=None):
+                 interpret=None, dot_mode="highest"):
     """Run all nz layers of one Fourier moment in one Pallas kernel.
 
     Shapes: Z (C, N, N); tau/Em1_0/att/ek_sol/thermal (nz, s);
@@ -309,7 +313,7 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
               [pltpu.VMEM((bb, Np, K), dtype)] * 2
 
     kernel = partial(_moment_kernel, nz=nz, ns_sched=ns_sched,
-                     ns_inter=ns_inter)
+                     ns_inter=ns_inter, dot_mode=dot_mode)
     fn = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs,

@@ -67,11 +67,37 @@ def _spec(block, shape_tail, bcast=False):
                         memory_space=pltpu.VMEM)
 
 
-def _bmm(a, b):
-    """Per-point (b, N, N) @ (b, N, M) on the MXU."""
+_BDIMS = (((2,), (1,)), ((0,), (0,)))
+
+
+def _bmm(a, b, mode: str = "highest"):
+    """Per-point (b, N, N) @ (b, N, M) on the MXU.
+
+    mode selects the in-kernel precision strategy (SolverConfig.dot_mode):
+      * "highest": Mosaic's exact-f32 dot (6 bf16 MXU passes — measured
+        identical to precision="float32" in both speed and accuracy);
+      * "split3": manual 3-pass bf16 splitting. Mosaic rejects
+        precision=HIGH ("Unsupported dot precision"), so XLA's 3-pass mode
+        is rebuilt by hand: a = a_hi + a_lo with a_hi = bf16(a) (top 8
+        mantissa bits) and a_lo = bf16(a - a_hi) (next 8), then
+        a@b ~= ah@bh + ah@bl + al@bh with f32 accumulation; the dropped
+        al@bl term is O(2^-16) ~ 1.5e-5 relative — the same error class as
+        XLA:TPU's precision=HIGH;
+      * "default": single bf16 pass (~4e-3/dot), measurement-only.
+    """
+    if mode == "split3":
+        ah = a.astype(jnp.bfloat16)
+        al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        bh = b.astype(jnp.bfloat16)
+        bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def d(x, y):
+            return jax.lax.dot_general(
+                x, y, _BDIMS, preferred_element_type=jnp.float32)
+        return d(ah, bh) + d(ah, bl) + d(al, bh)
+    prec = None if mode == "default" else "highest"
     return jax.lax.dot_general(
-        a, b, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision="highest")
+        a, b, _BDIMS, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _eye_like(r):
@@ -81,7 +107,7 @@ def _eye_like(r):
     return (rows == cols).astype(r.dtype)[None]
 
 
-def _ns_inverse(S, ns_iters: int):
+def _ns_inverse(S, ns_iters: int, mode: str = "highest"):
     """(I - S)^-1 by Newton-Schulz from the Neumann seed I + S.
 
     m <- m (2I - (I - S) m) = m (2I - m + S m); 2 dots per iteration,
@@ -90,7 +116,7 @@ def _ns_inverse(S, ns_iters: int):
     eye = _eye_like(S)
     m = eye + S
     for _ in range(ns_iters):
-        m = _bmm(m, 2.0 * eye - m + _bmm(S, m))
+        m = _bmm(m, 2.0 * eye - m + _bmm(S, m, mode), mode)
     return m
 
 
@@ -106,7 +132,67 @@ def _norm_sched(ns_sched, ndoubl):
     return ns_sched
 
 
-def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
+def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
+    """Beer-diagonal-compensated doubling ladder, all dots at split3.
+
+    Accuracy analysis (round-4 measurement, PERF.md): uniform split3 loses
+    4.4e-4 end-to-end because the t-chain (t_new = tt_gp @ t) and j-chain
+    (j += tt_gp @ ...) multiply O(1) operators — per-dot 2^-16 errors
+    compound linearly over ndoubl x nz steps.  But the O(1) part of t is
+    EXACTLY known: the Beer-law diagonal D_k = diag(exp(-dtau 2^k / mu_i)),
+    which doubles as D <- D^2.  Carrying t = D + s (s = multiple-scattering
+    part, O(omega dtau)) turns every MXU product into small x O(1):
+
+        gp = (I - rr)^-1 = I + g          g = gp - I,   O(rho)
+        u  = t gp        = D + v          v = s + D g + s g
+        t' = u t         = D^2 + [v D + D s + v s]
+        u c              = D c + v c      for every Y-column c
+
+    D-products are exact elementwise row/col scalings (VPU, f32); the
+    remaining dots have error ~ 2^-16 |small| — measured end-to-end parity
+    2e-5, same as exact-f32 dots, at ~half the MXU passes (PERF.md r4).
+
+    beer_diag: (b, N) row vector of exp(-dtau/mu_i) (= 1 + Em1), the
+    analytic diagonal of the ELEMENTAL t_pp's Beer term.
+    """
+    N = r.shape[-1]
+    K = jp.shape[-1]
+    eye = _eye_like(r)
+    d = beer_diag                                  # (b, N)
+    s = t - d[:, :, None] * eye                    # multiple-scattering part
+    M = "split3"
+
+    for ns_iters in ns_sched:
+        gp = _ns_inverse(_bmm(r, r, M), ns_iters, M)
+        g = gp - eye
+        v = s + d[:, :, None] * g + _bmm(s, g, M)
+        jm_e = jm * ek_rows
+        X = _bmm(r, jnp.concatenate([s, jp, jm_e], axis=-1), M)
+        rt = r * d[:, None, :] + X[..., :N]        # r @ t  (col-scale + r@s)
+        r_jp, r_jme = X[..., N:N + K], X[..., N + K:]
+        c3 = jm_e + r_jp
+        c4 = jp + r_jme
+        W = _bmm(v, jnp.concatenate([s, rt, c3, c4], axis=-1), M)
+        s = (v * d[:, None, :] + d[:, :, None] * s + W[..., :N])
+        r = r + d[:, :, None] * rt + W[..., N:2 * N]
+        jm = jm + d[:, :, None] * c3 + W[..., 2 * N:2 * N + K]
+        jp = jp * ek_rows + d[:, :, None] * c4 + W[..., 2 * N + K:]
+        d = d * d
+        ek_rows = ek_rows * ek_rows
+    t = s + d[:, :, None] * eye
+    return r, t, jp, jm
+
+
+def _doubling_math(r, t, jp, jm, ek_rows, ns_sched, mode: str = "highest",
+                   beer_diag=None):
+    if mode == "split3d":
+        if beer_diag is None:
+            # Callers without the analytic Beer diagonal (per-layer kernel
+            # path) get the parity-equivalent exact-t-chain mix instead.
+            mode = "mixY"
+        else:
+            return _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched,
+                                          beer_diag)
     """The doubling ladder on starred operators — shared by the Pallas
     kernel body and the XLA fallback so both paths are the same algebra.
 
@@ -122,16 +208,22 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
     N = r.shape[-1]
     K = jp.shape[-1]
 
+    # Experimental sub-mode: "mixY" runs the t-chain dots (tt_gp and the
+    # wide Y update, whose errors compound multiplicatively through the
+    # ladder) at exact f32 and everything else (NS, S = rr, X) at split3.
+    m_lo = "split3" if mode == "mixY" else mode
+    m_t = "highest" if mode == "mixY" else mode
+
     # Static unroll: lax.scan does not lower inside Pallas TPU kernels, and
     # ndoubl is small (<= ~12) and static.
     for ns_iters in ns_sched:
-        gp = _ns_inverse(_bmm(r, r), ns_iters)
-        tt_gp = _bmm(t, gp)
+        gp = _ns_inverse(_bmm(r, r, m_lo), ns_iters, m_lo)
+        tt_gp = _bmm(t, gp, m_t)
         jm_e = jm * ek_rows
-        X = _bmm(r, jnp.concatenate([t, jp, jm_e], axis=-1))
+        X = _bmm(r, jnp.concatenate([t, jp, jm_e], axis=-1), m_lo)
         rt, r_jp, r_jme = X[..., :N], X[..., N:N + K], X[..., N + K:]
         Y = _bmm(tt_gp, jnp.concatenate(
-            [t, rt, jm_e + r_jp, jp + r_jme], axis=-1))
+            [t, rt, jm_e + r_jp, jp + r_jme], axis=-1), m_t)
         t_new = Y[..., :N]
         r = r + Y[..., N:2 * N]
         jm = jm + Y[..., 2 * N:2 * N + K]
@@ -142,29 +234,30 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched):
 
 
 def _interaction_math(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
-                      r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters: int):
+                      r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters: int,
+                      mode: str = "highest"):
     """Adding step (Sanghavi 2014 Eqs. 23-28) with a single Newton-Schulz
     inverse: the second geometric factor comes from the push-through
     identity (I - R+- r-+)^-1 = I + R+- (I - r-+ R+-)^-1 r-+."""
     N = R_mp.shape[-1]
     K = J0_p.shape[-1]
-    inv1 = _ns_inverse(_bmm(r_mp, R_pm), ns_iters)   # (I - r-+ R+-)^-1
-    T01_inv = _bmm(T_mm, inv1)
+    inv1 = _ns_inverse(_bmm(r_mp, R_pm, mode), ns_iters, mode)
+    T01_inv = _bmm(T_mm, inv1, mode)
 
-    X = _bmm(r_mp, jnp.concatenate([T_pp, J0_p], axis=-1))
+    X = _bmm(r_mp, jnp.concatenate([T_pp, J0_p], axis=-1), mode)
     rT, rJ = X[..., :N], X[..., N:]
-    Y1 = _bmm(T01_inv, jnp.concatenate([t_mm, rT, rJ + j0_m], axis=-1))
+    Y1 = _bmm(T01_inv, jnp.concatenate([t_mm, rT, rJ + j0_m], axis=-1), mode)
     T_mm_new = Y1[..., :N]
     R_mp_new = R_mp + Y1[..., N:2 * N]
     J0_m_new = J0_m + Y1[..., 2 * N:]
 
     # T21_inv = t++ (I - R+- r-+)^-1 = t++ + t++ R+- inv1 r-+
-    u = _bmm(inv1, r_mp)
-    Z = _bmm(R_pm, jnp.concatenate([u, t_mm, j0_m], axis=-1))
+    u = _bmm(inv1, r_mp, mode)
+    Z = _bmm(R_pm, jnp.concatenate([u, t_mm, j0_m], axis=-1), mode)
     Ru, Rt, Rj = Z[..., :N], Z[..., N:2 * N], Z[..., 2 * N:]
-    T21_inv = t_pp + _bmm(t_pp, Ru)
+    T21_inv = t_pp + _bmm(t_pp, Ru, mode)
 
-    Y2 = _bmm(T21_inv, jnp.concatenate([T_pp, Rt, J0_p + Rj], axis=-1))
+    Y2 = _bmm(T21_inv, jnp.concatenate([T_pp, Rt, J0_p + Rj], axis=-1), mode)
     T_pp_new = Y2[..., :N]
     R_pm_new = r_pm + Y2[..., N:2 * N]
     J0_p_new = j0_p + Y2[..., 2 * N:]
@@ -197,9 +290,11 @@ def _ek_to_rows(ek, N):
 # ---------------------------------------------------------------------------
 
 def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
-                     ro_ref, to_ref, jpo_ref, jmo_ref, *, ns_sched):
+                     ro_ref, to_ref, jpo_ref, jmo_ref, *, ns_sched,
+                     dot_mode):
     r, t, jp, jm = _doubling_math(
-        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched)
+        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched,
+        dot_mode)
     ro_ref[:] = r
     to_ref[:] = t
     jpo_ref[:] = jp
@@ -208,7 +303,8 @@ def _doubling_kernel(r_ref, t_ref, jp_ref, jm_ref, ek_ref,
 
 def fused_doubling(r, t, jp, jm, expk, ndoubl: int,
                    ns_sched=None, block: int = DEFAULT_BLOCK,
-                   interpret: bool | None = None):
+                   interpret: bool | None = None,
+                   dot_mode: str = "highest"):
     """VMEM-resident doubling ladder on starred operators.
 
     r, t: (s, N, N); jp, jm: (s, N, K); expk: (s, K) per-point or (s, N, K)
@@ -232,7 +328,7 @@ def fused_doubling(r, t, jp, jm, expk, ndoubl: int,
         jax.ShapeDtypeStruct(jm.shape, jm.dtype),
     )
     fn = pl.pallas_call(
-        partial(_doubling_kernel, ns_sched=ns_sched),
+        partial(_doubling_kernel, ns_sched=ns_sched, dot_mode=dot_mode),
         grid=grid,
         in_specs=[mat, mat, vec, vec, vec],
         out_specs=(mat, mat, vec, vec),
@@ -246,7 +342,7 @@ def fused_doubling(r, t, jp, jm, expk, ndoubl: int,
 def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
                   r_ref, t_ref, jp_ref, jm_ref, ek_ref, dsgn_ref,
                   Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
-                  *, ns_sched, ns_inter: int):
+                  *, ns_sched, ns_inter: int, dot_mode: str):
     """Whole layer step: doubling ladder then interaction, one HBM trip.
 
     Inputs arrive STARRED (r* = D r-+, j-* = D j0-, elemental.jl:416-419);
@@ -256,7 +352,8 @@ def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
     """
     d_vec = dsgn_ref[0]                     # (N,) +-1
     r, t, jp, jm = _doubling_math(
-        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched)
+        r_ref[:], t_ref[:], jp_ref[:], jm_ref[:], ek_ref[:], ns_sched,
+        dot_mode)
     # Unstar + parity reconstruction (doubling.jl:178-216).
     sgn = d_vec[:, None] * d_vec[None, :]   # (N, N)
     r_mp = r * d_vec[None, :, None]
@@ -266,7 +363,7 @@ def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
 
     out = _interaction_math(
         Rmp_ref[:], Rpm_ref[:], Tpp_ref[:], Tmm_ref[:], Jp_ref[:], Jm_ref[:],
-        r_mp, r_pm, t, t_mm, jp, jm_u, ns_inter)
+        r_mp, r_pm, t, t_mm, jp, jm_u, ns_inter, dot_mode)
     for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
         ref[:] = val
 
@@ -274,7 +371,8 @@ def _layer_kernel(Rmp_ref, Rpm_ref, Tpp_ref, Tmm_ref, Jp_ref, Jm_ref,
 def fused_layer_step(comp, r_star, t_pp, jp, jm_star, expk, d_vec,
                      ndoubl: int, ns_sched=None, ns_inter: int = NS_ITERS,
                      block: int = DEFAULT_BLOCK,
-                     interpret: bool | None = None):
+                     interpret: bool | None = None,
+                     dot_mode: str = "highest"):
     """Fused doubling + interaction for one layer.
 
     comp: tuple (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m) with matrices
@@ -298,7 +396,8 @@ def fused_layer_step(comp, r_star, t_pp, jp, jm_star, expk, d_vec,
         jax.ShapeDtypeStruct(a.shape, a.dtype)
         for a in (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m))
     fn = pl.pallas_call(
-        partial(_layer_kernel, ns_sched=ns_sched, ns_inter=ns_inter),
+        partial(_layer_kernel, ns_sched=ns_sched, ns_inter=ns_inter,
+                dot_mode=dot_mode),
         grid=(s // block,),
         in_specs=[mat, mat, mat, mat, vec, vec,
                   mat, mat, vec, vec, vec, _spec(block, (8, N), bcast=True)],
