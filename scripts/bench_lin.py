@@ -1,0 +1,65 @@
+"""Linearized-run benchmark: rt_run_lin (forward + full Jacobian stack)
+spectral points/s on the flagship scene + one Mie aerosol (BASELINE.md's
+"linearized model_from_parameters with analytic aerosol/gas/surface
+Jacobians" configuration: 7 aerosol + 1 wind parameters).
+
+Prints pts/s for the SOLVER portion (tangent stack prebuilt; the host-side
+Mie tangents are a one-time per-scene cost measured separately)."""
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from __graft_entry__ import _flagship_model  # noqa: E402
+from vsmartmom_tpu.core.linearization import (build_tangent_inputs,  # noqa: E402
+                                              default_layout, rt_run_lin)
+
+
+def main(n_spec=1024):
+    t0 = time.perf_counter()
+    model = _flagship_model(n_spec=n_spec, dtype=np.float32, nstreams=8,
+                            aerosol=True)
+    layout = default_layout(model)
+    print(f"layout: {layout.names()} ({layout.n_total} params); "
+          f"build {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    R, T, dR, dT = rt_run_lin(model, layout=layout)
+    print(f"first rt_run_lin (incl. host tangents + compile): "
+          f"{time.perf_counter()-t0:.1f}s", flush=True)
+    assert np.isfinite(dR).all() and np.isfinite(dT).all()
+
+    # Solver-only timing: reuse the prebuilt tangent stack.
+    import dataclasses  # noqa: F401
+    import jax.numpy as jnp
+    from vsmartmom_tpu.core.solver import rt_solve
+    inputs, config, tangents = build_tangent_inputs(model, 0, layout)
+    tangents_j = [jax.tree_util.tree_map(
+        lambda t, x: np.asarray(t, dtype=np.asarray(x).dtype), d, inputs)
+        for d in tangents]
+    tan_stack = jax.tree_util.tree_map(
+        lambda *ts: jnp.stack([jnp.asarray(t) for t in ts]), *tangents_j)
+
+    def fn(inp):
+        out = rt_solve(inp, config)
+        return out["R"], out["T"]
+
+    jvp_fn = jax.jit(lambda ts: jax.vmap(
+        lambda d: jax.jvp(fn, (inputs,), (d,))[1])(ts))
+    out = jvp_fn(tan_stack)
+    jax.block_until_ready(out)
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jvp_fn(tan_stack)
+    _ = np.asarray(out[0])
+    dt = (time.perf_counter() - t0) / reps
+    print(f"linearized solve ({layout.n_total} tangents): {dt*1e3:.1f} ms "
+          f"-> {n_spec/dt:.0f} pts/s ({n_spec*layout.n_total/dt:.0f} "
+          f"tangent-pts/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)

@@ -149,3 +149,48 @@ class TestOceanScene:
         i_glint = int(np.where((vza == 30) & (vaz == 0))[0][0])
         Q = R[:, 1, 0]
         assert Q[i_glint] == Q.max()
+
+
+class TestWindTangent:
+    """Analytic d(Mueller)/d(wind_speed) vs float64 central FD — the
+    sigma^2 chain of cox_munk_mueller_wind_tangent (reference
+    coxmunk_surface.jl:61-101)."""
+
+    @pytest.mark.parametrize("U,shadow,wc", [
+        (5.0, True, True), (2.0, False, True), (12.0, True, False)])
+    def test_mueller_tangent_vs_fd(self, U, shadow, wc):
+        from vsmartmom_tpu.surfaces.coxmunk import (
+            CoxMunkSurface, cox_munk_mueller, cox_munk_mueller_wind_tangent)
+        mu = np.array([0.95, 0.7, 0.4])
+        phi = np.linspace(0.1, np.pi - 0.1, 7)
+        args = (4, mu[:, None, None], mu[None, :, None],
+                phi[None, None, :])
+
+        def surf(u):
+            return CoxMunkSurface(wind_speed=u, shadowing=shadow,
+                                  include_whitecaps=wc)
+        M, dM = cox_munk_mueller_wind_tangent(surf(U), *args)
+        np.testing.assert_allclose(
+            M, cox_munk_mueller(surf(U), *args), rtol=0, atol=0)
+        h = 1e-5 * U
+        fd = (cox_munk_mueller(surf(U + h), *args)
+              - cox_munk_mueller(surf(U - h), *args)) / (2 * h)
+        scale = np.abs(dM).max()
+        np.testing.assert_allclose(dM, fd, rtol=0, atol=2e-6 * scale)
+
+    def test_tms_tangent_vs_fd(self):
+        from vsmartmom_tpu.surfaces.coxmunk import (CoxMunkSurface,
+                                                    tms_correction)
+        U = 6.0
+        tau = np.array([0.1, 0.3])
+        kw = dict(ns=4, vza_deg=[30.0, 10.0], vaz_deg=[0.0, 120.0],
+                  mu0=np.cos(np.deg2rad(30.0)), tau_total=tau, m_max=6)
+        base, d_tms = tms_correction(CoxMunkSurface(U), wind_tangent=True,
+                                     **kw)
+        np.testing.assert_allclose(
+            base, tms_correction(CoxMunkSurface(U), **kw), rtol=0, atol=0)
+        h = 1e-5 * U
+        fd = (tms_correction(CoxMunkSurface(U + h), **kw)
+              - tms_correction(CoxMunkSurface(U - h), **kw)) / (2 * h)
+        scale = max(np.abs(d_tms).max(), 1e-30)
+        np.testing.assert_allclose(d_tms, fd, rtol=0, atol=2e-6 * scale)

@@ -121,8 +121,10 @@ class TestWindJacobian:
         def perturb(p, dh):
             p.surfaces[0].kwargs["wind_speed"] += dh
             return p
+        # Analytic sigma^2-chain tangent (round 4): the gate tightens from
+        # 5e-3 (FD-vs-FD era) to 1e-5 — residual is FD truncation only.
         dR_fd = _fd_jacobian(params, perturb, 5e-3)
-        _check(dR[..., layout.surface_index()], dR_fd, rtol=5e-3)
+        _check(dR[..., layout.surface_index()], dR_fd, rtol=1e-5)
 
     def test_forward_consistency(self):
         """rt_run_lin's R (incl. TMS) must equal rt_run's R."""

@@ -223,20 +223,12 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
         return r, j, spec, direct_m
 
     if kind == "CoxMunkSurface":
-        from ..surfaces.coxmunk import (CoxMunkSurface, coxmunk_mueller_grid,
-                                        coxmunk_reflectance_fourier)
+        from ..surfaces.coxmunk import (CoxMunkSurface,
+                                        coxmunk_surface_operator_arrays)
         surf = surface.kwargs.get("_surface_obj") or CoxMunkSurface(
             **{k: v for k, v in surface.kwargs.items() if not k.startswith("_")})
-        M_grid, phi, w = coxmunk_mueller_grid(surf, n_stokes, quad.qp_mu)
-        surf_r = np.zeros((n_m, N, N))
-        surf_j = np.zeros((n_m, N, n_stokes))
-        qw = quad.qp_mu_N * quad.wt_mu_N
-        for m in range(n_m):
-            R_raw = coxmunk_reflectance_fourier(M_grid, phi, w, n_stokes, m)
-            if m == 0:
-                R_raw = 2.0 * R_raw
-            surf_r[m] = R_raw * qw[None, :]
-            surf_j[m] = quad.mu0 * R_raw[:, sl]
+        surf_r, surf_j = coxmunk_surface_operator_arrays(
+            surf, quad, n_stokes, n_m)
         return surf_r, surf_j, np.ones(n_spec), np.ones(n_m)
 
     if kind in ("rpvSurfaceScalar", "RossLiSurfaceScalar"):

@@ -8,7 +8,7 @@ the layer-scan carry copies cost more than the MXU work they feed. This
 kernel moves the O(s N^2) matrix pipeline inside Pallas:
 
 * grid = (spectral blocks, nz) with ("parallel", "arbitrary") semantics:
-  the composite operators live in VMEM scratch across the layer dimension
+  the composite operators live VMEM-resident across the layer dimension
   (the canonical Pallas accumulator pattern), so per moment HBM sees
   per-layer ROW TABLES (O(s N)) in and one composite out — the (s, N, N)
   elemental operators never exist in HBM;
@@ -60,37 +60,47 @@ def _expm1_series(x):
         1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0))))))
 
 
-def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
-                   jp_ref, jms_ref, ekr_ref,
+def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
+                   dt_ref, jp_ref, jms_ref, ekr_ref,
                    Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
-                   Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s,
                    *, nz, ns_sched, ns_inter, dot_mode):
     """One (spectral-block, layer) grid step; all shapes packed.
 
     Refs (bp = packed block, Np = pack*N, C = components, K = sources):
       Zpp/Zmp (C, Np, Np)  block-diag tiled phase supermatrices
       geom    (10, Np, Np) static geometry tables (row indices _RG.._SGN)
+      zflag   (1, 8, 128)  1.0 on the first layer else 0.0
       wrow    (1, C, bp, Np)  (w_c/tau) [x fourier factor] per row
       Em1     (1, bp, Np)  expm1(-dtau/mu_row) precursor
       dt      (1, bp, Np)  dtau per row
       jp/jms  (1, bp, Np, K)  elemental sources (jms pre-starred)
       ekr     (1, bp, Np, K)  per-row doubling attenuation factors
-    Scratch: composite accumulators carried over the layer grid dim.
-    """
-    z = pl.program_id(1)
+
+    DIFFERENTIABILITY CONTRACT (core/linearization.py runs jax.jvp
+    straight through this kernel — pallas_call's automatic JVP rule
+    generates the tangent kernel): no scratch_shapes (the rule rejects
+    them — the composite accumulates directly in the OUTPUT refs, whose
+    index maps ignore the z grid dim so Mosaic keeps them VMEM-resident
+    across layers), no pl.program_id (its jvp re-trace asserts outside a
+    grid context — the first-layer flag arrives as the zflag operand),
+    and every operand must carry a (possibly zero but INSTANTIATED)
+    tangent (the rule drops symbolic zeros and then miscounts block
+    mappings). The uninitialized first-layer read of the output refs is
+    masked with jnp.where, which never propagates the unselected
+    garbage."""
     dtype = Zpp_ref.dtype
     bp, Np = Em1_ref.shape[1], Em1_ref.shape[2]
+    first = zflag_ref[0, 0, 0] > 0.5
 
-    @pl.when(z == 0)
-    def _init():
-        eye = geom_ref[_EYE][None]
-        zero = jnp.zeros((bp, Np, Np), dtype)
-        Rmp_s[:] = zero
-        Rpm_s[:] = zero
-        Tpp_s[:] = eye + zero
-        Tmm_s[:] = eye + zero
-        Jp_s[:] = jnp.zeros_like(Jp_s)
-        Jm_s[:] = jnp.zeros_like(Jm_s)
+    eye = geom_ref[_EYE][None]
+    zero_m = jnp.zeros((bp, Np, Np), dtype)
+    zero_v = jnp.zeros(Jp_o.shape, dtype)
+    Rmp_c = jnp.where(first, zero_m, Rmp_o[:])
+    Rpm_c = jnp.where(first, zero_m, Rpm_o[:])
+    Tpp_c = jnp.where(first, eye + zero_m, Tpp_o[:])
+    Tmm_c = jnp.where(first, eye + zero_m, Tmm_o[:])
+    Jp_c = jnp.where(first, zero_v, Jp_o[:])
+    Jm_c = jnp.where(first, zero_v, Jm_o[:])
 
     # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
     Em1 = Em1_ref[0]                         # (bp, Np)
@@ -142,19 +152,10 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, wrow_ref, Em1_ref, dt_ref,
     t_mm_l = geom_ref[_SGN][None] * t
 
     out = _interaction_math(
-        Rmp_s[:], Rpm_s[:], Tpp_s[:], Tmm_s[:], Jp_s[:], Jm_s[:],
+        Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
         r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
-    for ref, val in zip((Rmp_s, Rpm_s, Tpp_s, Tmm_s, Jp_s, Jm_s), out):
+    for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
         ref[:] = val
-
-    @pl.when(z == nz - 1)
-    def _emit():
-        Rmp_o[:] = Rmp_s[:]
-        Rpm_o[:] = Rpm_s[:]
-        Tpp_o[:] = Tpp_s[:]
-        Tmm_o[:] = Tmm_s[:]
-        Jp_o[:] = Jp_s[:]
-        Jm_o[:] = Jm_s[:]
 
 
 def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
@@ -286,10 +287,18 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
         return pl.BlockSpec(shape, lambda i, z: (_I0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    # First-layer flag operand (see _moment_kernel differentiability
+    # contract). Derived from tau so it carries an instantiated tangent
+    # under jvp; the 0*tau term folds away outside AD.
+    zflag = (jnp.zeros((nz, 8, 128), dtype).at[0].set(1.0)
+             + 0.0 * tau[0, 0].astype(dtype))
+
     in_specs = [
         vmem((C, Np, Np)),                                       # Zbd_pp
         vmem((C, Np, Np)),                                       # Zbd_mp
         vmem((10, Np, Np)),                                      # geom
+        pl.BlockSpec((1, 8, 128), lambda i, z: (z, _I0, _I0),
+                     memory_space=pltpu.VMEM),                   # zflag
         pl.BlockSpec((1, C, bb, Np), lambda i, z: (z, _I0, i, _I0),
                      memory_space=pltpu.VMEM),                   # wrow
         pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
@@ -309,8 +318,6 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                          memory_space=pltpu.VMEM)
     out_shapes = (jax.ShapeDtypeStruct((bp_tot, Np, Np), dtype),) * 4 + \
                  (jax.ShapeDtypeStruct((bp_tot, Np, K), dtype),) * 2
-    scratch = [pltpu.VMEM((bb, Np, Np), dtype)] * 4 + \
-              [pltpu.VMEM((bb, Np, K), dtype)] * 2
 
     kernel = partial(_moment_kernel, nz=nz, ns_sched=ns_sched,
                      ns_inter=ns_inter, dot_mode=dot_mode)
@@ -319,11 +326,10 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
         in_specs=in_specs,
         out_specs=(mat_o,) * 4 + (vec_o,) * 2,
         out_shape=out_shapes,
-        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    return fn(Zbd_pp, Zbd_mp, geom, wrow.astype(dtype), Em1p.astype(dtype),
-              dtp.astype(dtype), j0_p, jm_star, ekr)
+    return fn(Zbd_pp, Zbd_mp, geom, zflag, wrow.astype(dtype),
+              Em1p.astype(dtype), dtp.astype(dtype), j0_p, jm_star, ekr)

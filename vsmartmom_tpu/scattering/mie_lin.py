@@ -301,9 +301,14 @@ def exact_aerosol_mie_tangents(aer, scat, lam_band: float, profile_shape,
     """
     fn, theta0 = build_lin_aerosol_fn(aer, scat, lam_band, profile_shape,
                                       use_bge, l_cap)
-    theta = jnp.asarray(theta0, jnp.float64)
-    primal = fn(theta)
-    jac = jax.jacfwd(fn)(theta)
+    # Host-side stage by design (SURVEY §7 decision: Mie runs f64 on CPU —
+    # TPU has no complex128; the reference's GPU Mie uses double-float
+    # emulation instead, compute_NAI2.jl). Pin explicitly so a TPU default
+    # backend doesn't capture the trace.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        theta = jnp.asarray(theta0, jnp.float64)
+        primal = fn(theta)
+        jac = jax.jacfwd(fn)(theta)
     to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
     return to_np(primal), to_np(jac)
 
