@@ -467,20 +467,10 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
     return {"R": R, "T": T, "ieR": ieR, "ieT": ieT}
 
 
-def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):
-    """User-facing inelastic forward run (reference rt_run(RS_type, model)
-    for RS_type in RRS / VS_0to1 / VS_1to0).
-
-    mode="RRS": rotational Raman — every spectral point exchanges with its
-    rotational-line neighborhood (index-shift redistribution).
-    mode="VS_0to1"/"VS_1to0": vibrational Raman — the FIRST grid point is
-    the incident wavelength; the rest of the grid is the scattered band
-    (reference VS convention, elemental_inelastic.jl:279-294). Build such
-    grids with inelastic.vs_setup.vs_band_grid.
-
-    Returns (R, T, ieR, ieT): the elastic radiance factors and the
-    inelastic contributions, each (nVZA, nStokes, nSpec). Total = R + ieR.
-    """
+def inelastic_setup(model, i_band: int = 0, mode: str = "RRS"):
+    """Shared setup for every inelastic driver (TOA/BOA, multisensor):
+    returns (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
+    src_fn)."""
     import numpy as np
 
     from ..inelastic.rrs_setup import greek_raman, rrs_redistribution
@@ -532,9 +522,30 @@ def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):
                                        else prof.T)
     fscatt = band.tau_rayl.T / np.where(tau_scat_mix > 0, tau_scat_mix, 1.0)
 
-    out = rt_solve_rrs(inputs, config, jnp.asarray(shifts),
-                       jnp.asarray(w_shifts), jnp.asarray(Z_r_pp),
-                       jnp.asarray(Z_r_mp), jnp.asarray(fscatt),
-                       src_fn=src_fn)
+    return (inputs, config, jnp.asarray(shifts), jnp.asarray(w_shifts),
+            jnp.asarray(Z_r_pp), jnp.asarray(Z_r_mp), jnp.asarray(fscatt),
+            src_fn)
+
+
+def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):
+    """User-facing inelastic forward run (reference rt_run(RS_type, model)
+    for RS_type in RRS / VS_0to1 / VS_1to0).
+
+    mode="RRS": rotational Raman — every spectral point exchanges with its
+    rotational-line neighborhood (index-shift redistribution).
+    mode="VS_0to1"/"VS_1to0": vibrational Raman — the FIRST grid point is
+    the incident wavelength; the rest of the grid is the scattered band
+    (reference VS convention, elemental_inelastic.jl:279-294). Build such
+    grids with inelastic.vs_setup.vs_band_grid.
+
+    Returns (R, T, ieR, ieT): the elastic radiance factors and the
+    inelastic contributions, each (nVZA, nStokes, nSpec). Total = R + ieR.
+    """
+    import numpy as np
+
+    (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
+     src_fn) = inelastic_setup(model, i_band, mode)
+    out = rt_solve_rrs(inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp,
+                       fscatt, src_fn=src_fn)
     return (np.asarray(out["R"]), np.asarray(out["T"]),
             np.asarray(out["ieR"]), np.asarray(out["ieT"]))
