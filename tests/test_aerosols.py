@@ -193,3 +193,133 @@ def test_read_two_moment_and_bridge(tmp_path):
     np.testing.assert_allclose(a.tau_ref, 0.20, rtol=1e-12)
     assert 500.0 < a.p0 < 900.0            # AOD-weighted center
     assert a.n_r > 1.3 and a.n_i >= 0
+
+
+class TestAltitudeFormProfile:
+    """Altitude-form (z₀, σ₀) vertical profiles — the reference documents
+    LogNormal(log z₀, σ₀)-in-height as the preferred form but stubs its
+    layer integration (IO/Parameters.jl:495-556); here it integrates
+    exactly on the hydrostatic z grid."""
+
+    def _profile(self, nlay=20):
+        from vsmartmom_tpu.core.atmosphere import compute_atmos_profile_fields
+        p_half = np.linspace(1.0, 1013.0, nlay + 1)
+        T = np.linspace(220.0, 290.0, nlay)
+        return compute_atmos_profile_fields(T, p_half)
+
+    def test_normalization_and_location(self):
+        from vsmartmom_tpu.core.atmosphere import (aerosol_layer_tau_gauss_z,
+                                                   layer_z_bounds)
+        prof = self._profile()
+        tau = aerosol_layer_tau_gauss_z(0.3, 3.0, 0.3, prof)
+        np.testing.assert_allclose(tau.sum(), 0.3, rtol=1e-12)
+        assert np.all(tau >= 0)
+        # the peak layer must contain (or neighbor) the median altitude
+        z_half = layer_z_bounds(prof) / 1e3
+        i_peak = int(np.argmax(tau))
+        assert z_half[i_peak + 1] <= 3.0 * 1.6 and z_half[i_peak] >= 3.0 / 1.6
+
+    def test_matches_numerical_quadrature(self):
+        """Exact CDF integration vs brute-force midpoint quadrature."""
+        from vsmartmom_tpu.core.atmosphere import (aerosol_layer_tau_gauss_z,
+                                                   layer_z_bounds)
+        prof = self._profile()
+        z0, s0 = 2.0, 0.4
+        tau = aerosol_layer_tau_gauss_z(1.0, z0, s0, prof)
+        z_half = layer_z_bounds(prof) / 1e3
+        num = np.zeros(prof.nz)
+        for i in range(prof.nz):
+            z = np.linspace(max(z_half[i + 1], 1e-9), z_half[i], 4001)
+            pdf = np.exp(-(np.log(z) - np.log(z0)) ** 2 / (2 * s0 ** 2)) / (
+                z * s0 * np.sqrt(2 * np.pi))
+            num[i] = np.trapezoid(pdf, z)
+        num /= num.sum()
+        np.testing.assert_allclose(tau, num, rtol=5e-4, atol=1e-9)
+
+    def test_yaml_altitude_form_parses_and_runs(self, tmp_path):
+        from vsmartmom_tpu import model_from_parameters, rt_run
+        from vsmartmom_tpu.io.yaml_input import parameters_from_yaml
+        import textwrap
+        yaml_text = textwrap.dedent("""
+        radiative_transfer:
+          spec_bands:
+            - 13200:0.4:13250
+          surface:
+            - LambertianSurfaceScalar(0.2)
+          polarization_type: Stokes_I()
+          nstreams: 4
+          truncation: NoTruncation()
+          depol: 0.0
+          float_type: Float64
+          architecture: default_architecture
+        geometry:
+          sza: 30.0
+          vza: [0.0, 30.0]
+          vaz: [0.0, 0.0]
+          obs_alt: 1000.0
+        atmospheric_profile:
+          T: [231.76, 244.26, 258.53, 272.45, 285.26]
+          p: [138.08, 386.96, 587.89, 793.97, 913.97, 1013.25]
+          profile_reduction: -1
+        scattering:
+          aerosols:
+            - "\u03c4_ref": 0.2
+              "z\u2080": 2.0
+              "\u03c3\u2080": 0.5
+              phase_function: HenyeyGreensteinPhaseFunction(0.65)
+              ssa: 0.95
+          r_max: 10.0
+          nquad_radius: 100
+          "\u03bb_ref": 0.755
+          decomp_type: NAI2()
+        """)
+        f = tmp_path / "alt_form.yaml"
+        f.write_text(yaml_text)
+        params = parameters_from_yaml(str(f))
+        aer = params.scattering_params.rt_aerosols[0]
+        assert aer.z0 == 2.0 and aer.sigma_z == 0.5 and aer.p0 is None
+        model = model_from_parameters(params)
+        comp = model.bands[0].aerosols[0]
+        np.testing.assert_allclose(comp.tau_profile.sum(), 0.2 * comp.k_over_kref
+                                   * (1 - comp.f_trunc * comp.ssa_raw)
+                                   if comp.f_trunc else 0.2, rtol=0.2)
+        R, T = rt_run(model)
+        assert np.isfinite(R).all() and np.isfinite(T).all()
+
+    def test_equivalent_pressure_form_scene(self):
+        """A pressure-form aerosol whose per-layer profile is numerically
+        matched to the altitude form gives the same radiances (the solver
+        consumes only the integrated per-layer tau)."""
+        from vsmartmom_tpu import model_from_parameters, rt_run
+        from vsmartmom_tpu.core.model import (Parameters, RTAerosol,
+                                              ScatteringParams,
+                                              SurfaceDescriptor)
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+
+        def _params(aer):
+            return Parameters(
+                spec_bands=[np.array([13200.0, 13200.4])],
+                surfaces=[SurfaceDescriptor("LambertianSurfaceScalar", [0.2])],
+                nstreams=4, polarization=STOKES_I,
+                sza=30.0, vza=[0.0, 30.0], vaz=[0.0, 0.0], obs_alt=0.0,
+                T=np.linspace(230.0, 285.0, 5),
+                p=np.linspace(200.0, 1013.0, 6), depol=0.0,
+                scattering_params=ScatteringParams(
+                    rt_aerosols=[aer], nquad_radius=100, r_max=10.0,
+                    lambda_ref=0.755))
+
+        aer_z = RTAerosol(tau_ref=0.2, z0=2.0, sigma_z=0.5,
+                          phase_function_g=0.65, ssa=0.95)
+        model_z = model_from_parameters(_params(aer_z))
+        Rz, Tz = rt_run(model_z)
+
+        # transplant the altitude-integrated profile into a pressure-form
+        # model (profile override, the reference's test workflow)
+        aer_p = RTAerosol(tau_ref=0.2, p0=700.0, sigma_p=50.0,
+                          phase_function_g=0.65, ssa=0.95)
+        model_p = model_from_parameters(_params(aer_p))
+        model_p.bands[0].aerosols[0].tau_profile = \
+            model_z.bands[0].aerosols[0].tau_profile
+        Rp, Tp = rt_run(model_p)
+        np.testing.assert_allclose(Rz, Rp, rtol=1e-10, atol=1e-14)
+        np.testing.assert_allclose(Tz, Tp, rtol=1e-10, atol=1e-14)

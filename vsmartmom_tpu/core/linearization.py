@@ -153,21 +153,20 @@ def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3,
     tangents["tau_ref"] = {
         "tau_profile": comp.tau_profile / aer.tau_ref, "ssa": 0.0}
 
-    # p0, sigma_p: only the (normalized) vertical profile changes — central
-    # FD on the cheap profile builder (no Mie).
-    from .atmosphere import aerosol_layer_tau_gauss
+    # Profile-shape params (p0/sigma_p or z0/sigma_z): only the normalized
+    # vertical profile changes — central FD on the cheap profile builder
+    # (no Mie). Layout slots 5/6 carry whichever form the aerosol uses.
+    from .atmosphere import aerosol_profile_shape
     scale = comp.tau_profile.sum() / max(
-        aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
-                                model.profile.p_half).sum(), 1e-300)
-    for name, attr in (("p0", "p0"), ("sigma_p", "sigma_p")):
+        aerosol_profile_shape(aer, model.profile).sum(), 1e-300)
+    prof_attrs = ("p0", "sigma_p") if aer.p0 is not None else ("z0", "sigma_z")
+    for name, attr in zip(("p0", "sigma_p"), prof_attrs):
         x = getattr(aer, attr)
         h = max(abs(x) * fd_rel, 1e-6)
-        hi = aerosol_layer_tau_gauss(1.0, aer.p0 + (h if attr == "p0" else 0),
-                                     aer.sigma_p + (h if attr == "sigma_p" else 0),
-                                     model.profile.p_half)
-        lo = aerosol_layer_tau_gauss(1.0, aer.p0 - (h if attr == "p0" else 0),
-                                     aer.sigma_p - (h if attr == "sigma_p" else 0),
-                                     model.profile.p_half)
+        hi = aerosol_profile_shape(dc_replace(aer, **{attr: x + h}),
+                                   model.profile)
+        lo = aerosol_profile_shape(dc_replace(aer, **{attr: x - h}),
+                                   model.profile)
         tangents[name] = {"tau_profile": scale * (hi - lo) / (2 * h), "ssa": 0.0}
 
     # Mie microphysics: exact forward-mode tangents through the JAX-traced
@@ -184,9 +183,8 @@ def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3,
     if mie_method == "exact":
         from ..scattering.mie_lin import (exact_aerosol_mie_tangents,
                                           greek_tangent_as_coefs)
-        from .atmosphere import aerosol_layer_tau_gauss
-        shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
-                                        model.profile.p_half)
+        from .atmosphere import aerosol_profile_shape
+        shape = aerosol_profile_shape(aer, model.profile)
         _, jac = exact_aerosol_mie_tangents(
             aer, params.scattering_params, lam_band, shape, use_bge, l_cap)
         for pname, ip in mie_params.items():

@@ -81,17 +81,34 @@ class SurfaceDescriptor:
 class RTAerosol:
     """One aerosol species (reference RT_Aerosol, types.jl:83-103):
     microphysics (log-normal + refractive index) or an analytic phase
-    function, a reference optical depth, and a Gaussian-in-pressure
-    vertical profile."""
+    function, a reference optical depth, and a vertical profile in EITHER
+    Gaussian-in-pressure (p0, sigma_p [hPa]) or log-normal-in-altitude
+    (z0 [km], sigma_z = sigma0 log-width) form. The reference documents
+    the altitude form as preferred but stubs its integration
+    (IO/Parameters.jl:495-556); here it integrates exactly on the
+    hydrostatic z grid (atmosphere.aerosol_layer_tau_gauss_z)."""
     tau_ref: float
-    p0: float                          # profile center [hPa]
-    sigma_p: float                     # profile width [hPa]
+    p0: Optional[float] = None         # profile center [hPa]
+    sigma_p: Optional[float] = None    # profile width [hPa]
+    z0: Optional[float] = None         # profile median altitude [km]
+    sigma_z: Optional[float] = None    # log-normal sigma0 (dimensionless)
     mu_log: Optional[float] = None     # log-normal median radius [um]
     sigma_log: Optional[float] = None  # log-normal geometric sigma
     n_r: float = 1.0
     n_i: float = 0.0
     phase_function_g: Optional[float] = None   # HG asymmetry (analytic path)
     ssa: Optional[float] = None                # analytic-path SSA
+
+    def __post_init__(self):
+        has_p = self.p0 is not None
+        has_z = self.z0 is not None
+        if has_p == has_z:
+            raise ValueError("RTAerosol needs exactly one vertical-profile "
+                             "form: (p0, sigma_p) or (z0, sigma_z)")
+        if has_p and self.sigma_p is None:
+            raise ValueError("pressure-form profile needs sigma_p")
+        if has_z and self.sigma_z is None:
+            raise ValueError("altitude-form profile needs sigma_z")
 
 
 @dataclass
@@ -511,11 +528,10 @@ def _build_one_aerosol(params: Parameters, profile: AtmosphericProfile,
                                   compute_aerosol_optical_properties,
                                   compute_ref_aerosol_extinction,
                                   truncate_phase_delta_bge, truncate_phase_none)
-    from .atmosphere import aerosol_layer_tau_gauss
+    from .atmosphere import aerosol_profile_shape
 
     scat = params.scattering_params
-    profile_shape = aerosol_layer_tau_gauss(1.0, aer.p0, aer.sigma_p,
-                                            profile.p_half)
+    profile_shape = aerosol_profile_shape(aer, profile)
     if aer.phase_function_g is not None:
         optics = analytic_aerosol_optics(aer.phase_function_g,
                                          ssa=aer.ssa or 1.0,

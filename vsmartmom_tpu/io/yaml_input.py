@@ -143,12 +143,23 @@ def _parse_scattering(sc: dict):
     aerosols = []
     for a in sc.get("aerosols", []):
         kwargs = dict(tau_ref=float(a["τ_ref"]))
-        if "p₀" in a:
-            kwargs["p0"] = float(a["p₀"])
-            kwargs["sigma_p"] = float(a["σp"])
+        has_p = "p₀" in a or "p0" in a
+        has_z = "z₀" in a or "z0" in a
+        if has_p and has_z:
+            raise ValueError("aerosol must specify exactly one of (z₀, σ₀) "
+                             "or (p₀, σp) — got both")
+        if has_p:
+            kwargs["p0"] = float(a.get("p₀", a.get("p0")))
+            kwargs["sigma_p"] = float(a.get("σp", a.get("sigma_p")))
+        elif has_z:
+            # altitude form (reference-preferred, IO/Parameters.jl:495-556):
+            # LogNormal(log z₀, σ₀) in height, integrated on the z grid.
+            kwargs["z0"] = float(a.get("z₀", a.get("z0")))
+            kwargs["sigma_z"] = float(a.get("σ₀", a.get("sigma0")))
         else:
-            raise NotImplementedError(
-                "altitude-form aerosol profiles (z0, sigma0) not yet supported")
+            raise ValueError("aerosol must specify a vertical distribution: "
+                             "(z₀, σ₀) altitude-form or (p₀, σp) "
+                             "pressure-form")
         if "μ" in a:
             kwargs["mu_log"] = float(np.log(a["μ"]))
             kwargs["sigma_log"] = float(np.log(a["σ"]))
