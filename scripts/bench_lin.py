@@ -46,15 +46,18 @@ def main(n_spec=1024):
         out = rt_solve(inp, config)
         return out["R"], out["T"]
 
-    jvp_fn = jax.jit(lambda ts: jax.vmap(
-        lambda d: jax.jvp(fn, (inputs,), (d,))[1])(ts))
-    out = jvp_fn(tan_stack)
+    # Per-parameter loop over one compiled tangent kernel (the vmapped
+    # all-parameter jvp OOMs HBM at this width — see rt_run_lin).
+    g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])
+    tans = [jax.tree_util.tree_map(lambda a: a[i], tan_stack)
+            for i in range(len(tangents_j))]
+    out = [g(d) for d in tans]
     jax.block_until_ready(out)
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jvp_fn(tan_stack)
-    _ = np.asarray(out[0])
+        out = [g(d) for d in tans]
+    _ = np.asarray(out[-1][0])
     dt = (time.perf_counter() - t0) / reps
     print(f"linearized solve ({layout.n_total} tangents): {dt*1e3:.1f} ms "
           f"-> {n_spec/dt:.0f} pts/s ({n_spec*layout.n_total/dt:.0f} "

@@ -160,3 +160,22 @@ class TestGasJacobian:
             return p
         dR_fd = _fd_jacobian(params, perturb, 1e-3)
         _check(dR[..., layout.gas_index(0)], dR_fd, rtol=2e-3)
+
+
+class TestFusedJvp:
+    def test_fused_lin_matches_xla_lin(self):
+        """rt_run_lin through the fused band kernel (pallas auto-JVP,
+        interpret mode on CPU) must match the packed-XLA jvp path."""
+        params = _params(wind=6.0, aerosol=False)
+        m_x = model_from_parameters(params)
+        R1, T1, dR1, dT1 = rt_run_lin(m_x)
+
+        import copy as _copy
+        params_f = _copy.deepcopy(params)
+        params_f.fused = True
+        params_f.pack = 2
+        m_f = model_from_parameters(params_f)
+        R2, T2, dR2, dT2 = rt_run_lin(m_f)
+        np.testing.assert_allclose(R2, R1, rtol=5e-5, atol=1e-8)
+        scale = np.abs(dR1).max()
+        np.testing.assert_allclose(dR2, dR1, rtol=0, atol=1e-4 * scale)

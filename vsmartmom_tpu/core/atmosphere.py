@@ -45,7 +45,12 @@ def compute_atmos_profile_fields(T, p_half, q=None, vmr=None) -> AtmosphericProf
     p_full = 0.5 * (p_half[1:] + p_half[:-1])
     dp = np.diff(p_half)
     ratio = DRY_MASS / WET_MASS
-    vmr_h2o = q / (1.0 - q) * ratio
+    # Guard q -> 1 (saturated / placeholder specific humidities in e.g.
+    # GeosChem ingests would otherwise divide by zero and NaN the column):
+    # physically q stays well below ~0.1, so clip the mixing-ratio
+    # conversion rather than propagate infinities.
+    q_safe = np.clip(q, 0.0, 0.5)
+    vmr_h2o = q_safe / (1.0 - q_safe) * ratio
     vmr_dry = 1.0 - vmr_h2o
     M = vmr_dry * DRY_MASS + vmr_h2o * WET_MASS
     # hPa -> SI -> molec/cm^2 (the reference's *100/100^2 scalings combined)

@@ -288,19 +288,21 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         for d in tangents]
     tan_stack = jax.tree_util.tree_map(
         lambda *ts: jnp.stack([jnp.asarray(t) for t in ts]), *tangents_j)
-    jvp_fn = jax.jit(jax.vmap(lambda d: jax.jvp(fn, (inputs,), (d,))[1]))
-    try:
-        dR, dT = jvp_fn(tan_stack)
-    except Exception:
-        if not config.fused:
-            raise
-        # vmap-of-jvp over the Pallas kernel is toolchain-sensitive; fall
-        # back to per-parameter dispatch of the same fused jvp.
+    if config.fused:
+        # Fused path: per-parameter dispatch of one compiled jvp. The
+        # vmapped all-parameter form OOMs HBM at production widths (the
+        # batched tangent solve holds Nparams x the layer tables — 25.5 G
+        # measured at nSpec=1024 x 8 params on a 16 G chip) and costs a
+        # ~20-minute Mosaic compile before failing; the loop compiles the
+        # tangent kernel once and streams parameters through it.
         g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])
         outs = [g(jax.tree_util.tree_map(lambda a: a[i], tan_stack))
                 for i in range(len(tangents_j))]
         dR = jnp.stack([o[0] for o in outs])
         dT = jnp.stack([o[1] for o in outs])
+    else:
+        dR, dT = jax.vmap(lambda d: jax.jvp(fn, (inputs,), (d,))[1])(
+            tan_stack)
     R, T = np.asarray(R), np.asarray(T)
     dR = np.moveaxis(np.array(dR), 0, -1)    # (nVZA, ns, nSpec, Nparams)
     dT = np.moveaxis(np.array(dT), 0, -1)

@@ -479,7 +479,9 @@ class RTModel:
             # split3d holds the 1e-4 fused-vs-plain parity gate (bench.py)
             # and the F32 physics suites with margin (PERF.md r4 precision
             # study) while cutting the ladder's MXU passes nearly in half.
-            dot_mode = "split3d" if fused else "highest"
+            # f64 solves keep exact dots (bf16 splitting is an f32 game).
+            dot_mode = "split3d" if (fused and ft == np.float32) \
+                else "highest"
         config = SolverConfig(n_stokes=ns, nquad=quad.Nquad, n_spec=n_spec,
                               nz=nz, m_max=m_max, ndoubl=int(ndoubl),
                               i_mu0=quad.i_mu0, vza_idx=self.vza_idx, dtype=ft,

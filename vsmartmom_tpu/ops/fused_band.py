@@ -210,6 +210,8 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     Np = pack * N
     dtype = Z_pp_m.dtype
     ns_sched = _norm_sched(ns_sched, ndoubl)
+    if dtype != jnp.float32 and "split" in dot_mode:
+        dot_mode = "highest"    # bf16 splitting is an f32 construction
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 

@@ -85,7 +85,7 @@ def _bmm(a, b, mode: str = "highest"):
         XLA:TPU's precision=HIGH;
       * "default": single bf16 pass (~4e-3/dot), measurement-only.
     """
-    if mode == "split3":
+    if mode == "split3" and a.dtype == jnp.float32:
         ah = a.astype(jnp.bfloat16)
         al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
         bh = b.astype(jnp.bfloat16)
@@ -96,8 +96,9 @@ def _bmm(a, b, mode: str = "highest"):
                 x, y, _BDIMS, preferred_element_type=jnp.float32)
         return d(ah, bh) + d(ah, bl) + d(al, bh)
     prec = None if mode == "default" else "highest"
+    pe = a.dtype if a.dtype == jnp.float64 else jnp.float32
     return jax.lax.dot_general(
-        a, b, _BDIMS, preferred_element_type=jnp.float32, precision=prec)
+        a, b, _BDIMS, preferred_element_type=pe, precision=prec)
 
 
 def _eye_like(r):
@@ -185,6 +186,8 @@ def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
 
 def _doubling_math(r, t, jp, jm, ek_rows, ns_sched, mode: str = "highest",
                    beer_diag=None):
+    if mode == "split3d" and r.dtype != jnp.float32:
+        mode = "highest"        # bf16 splitting is an f32 construction
     if mode == "split3d":
         if beer_diag is None:
             # Callers without the analytic Beer diagonal (per-layer kernel
