@@ -99,6 +99,22 @@ class TestPathParity:
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                        rtol=1e-4, atol=1e-6, err_msg=k)
 
+    def test_awkward_width_padding(self):
+        """Packed widths not divisible by the spectral block (e.g. the
+        reference's nSpec=60 operating point -> bp=30) are padded with
+        vacuum points inside fused_moment; results must match the plain
+        path exactly on the real points."""
+        from vsmartmom_tpu.core.solver import rt_solve
+        model = _model(n_spec=36)      # bp = 18 -> padded to 24 at block 8
+        inputs, config = model.build_band(0)
+        ref = rt_solve(inputs, config)
+        cfg = dataclasses.replace(config, fused=True, pack=2,
+                                  ns_sched=(4,) * config.ndoubl, ns_inter=6)
+        out = rt_solve(inputs, cfg)
+        for k in KEYS:
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                       rtol=5e-5, atol=1e-6, err_msg=k)
+
     def test_moment_split_matches_full(self, baseline):
         """Moments above m_scat (surface-only: Cox-Munk pushes m_max to the
         stream cap, Rayleigh scatters only to m = 2) must be exactly

@@ -27,12 +27,29 @@ algebra on top of the elastic kernels:
   points — the context-parallel analogue noted in SURVEY section 5.
 """
 
+import os
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from .kernels import MATMUL_PRECISION, _bmm, _bsolve, _exp, _expm1
+from .kernels import MATMUL_PRECISION, _bsolve, _exp, _expm1
+from .kernels import _bmm as _bmm_exact
+
+#: Precision of the inelastic-ladder dots. The ie field is FIRST-ORDER in
+#: the Raman coupling — a ~1e-2 additive correction to the radiance — so a
+#: bf16-class (~4e-3 relative) dot error lands at ~4e-5 of the total
+#: signal, far inside the reference's own F32 gates (benchmarks.md
+#: 0.3-0.5%). On TPU the default-precision dots run a single MXU pass
+#: instead of six; CPU executes f32 exactly either way, so the test-suite
+#: numerics are unchanged. Set VSM_IE_PRECISION=highest to force exact
+#: dots (the bench parity study ran both — PERF.md r4).
+IE_PRECISION = os.environ.get("VSM_IE_PRECISION", "default")
+
+
+def _bmm(a, b):
+    prec = None if IE_PRECISION == "default" else IE_PRECISION
+    return jnp.matmul(a, b, precision=prec)
 
 
 def _roll0(x, shift):
@@ -52,6 +69,11 @@ def _src_fixed0(x, shift):
 
 
 def _mv(a, v):
+    prec = None if IE_PRECISION == "default" else IE_PRECISION
+    return jnp.einsum("sij,sj->si", a, v, precision=prec)
+
+
+def _mv_exact(a, v):
     return jnp.einsum("sij,sj->si", a, v, precision=MATMUL_PRECISION)
 
 
@@ -217,10 +239,10 @@ def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
     Tpp_c, Tmm_c = comp_el["T_pp"], comp_el["T_mm"]
     Jp_c, Jm_c = comp_el["J0_p"], comp_el["J0_m"]
 
-    inv1 = _bsolve(eye_b - _bmm(r_a, Rpm_c), eye_b)
-    T01 = _bmm(Tmm_c, inv1)
-    inv2 = _bsolve(eye_b - _bmm(Rpm_c, r_a), eye_b)
-    T21 = _bmm(tpp_a, inv2)
+    inv1 = _bsolve(eye_b - _bmm_exact(r_a, Rpm_c), eye_b)
+    T01 = _bmm_exact(Tmm_c, inv1)
+    inv2 = _bsolve(eye_b - _bmm_exact(Rpm_c, r_a), eye_b)
+    T21 = _bmm_exact(tpp_a, inv2)
 
     def per_shift(shift, ieR_mp, ieR_pm, ieT_pp, ieT_mm, ieJp, ieJm,
                   ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm):
@@ -316,8 +338,9 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
 
     def step(carry, _):
         r, t, jp, jm, ek, ier, iet, iejp, iejm = carry
-        gp = _bsolve(eye[None] - _bmm(r, r), jnp.broadcast_to(eye, r.shape))
-        tt_gp = _bmm(t, gp)
+        gp = _bsolve(eye[None] - _bmm_exact(r, r),
+                     jnp.broadcast_to(eye, r.shape))
+        tt_gp = _bmm_exact(t, gp)
         # ie update FIRST (uses the pre-update elastic state)
         ier, iet, iejp, iejm = ie_doubling_step(
             r, t, jp, jm, ek, gp, tt_gp, (ier, iet, iejp, iejm), shifts,
@@ -325,10 +348,10 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
         # elastic update (rt_helpers.jl:130-166)
         j1p = jp * ek[:, None]
         j1m = jm * ek[:, None]
-        jm_new = jm + _mv(tt_gp, j1m + _mv(r, jp))
-        jp_new = j1p + _mv(tt_gp, jp + _mv(r, j1m))
-        r_new = r + _bmm(tt_gp, _bmm(r, t))
-        t_new = _bmm(tt_gp, t)
+        jm_new = jm + _mv_exact(tt_gp, j1m + _mv_exact(r, jp))
+        jp_new = j1p + _mv_exact(tt_gp, jp + _mv_exact(r, j1m))
+        r_new = r + _bmm_exact(tt_gp, _bmm_exact(r, t))
+        t_new = _bmm_exact(tt_gp, t)
         return (r_new, t_new, jp_new, jm_new, ek * ek,
                 ier, iet, iejp, iejm), None
 

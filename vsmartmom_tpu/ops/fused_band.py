@@ -280,10 +280,28 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     # (default 8): Mosaic unrolls the batch dim of every dot, so compile
     # time and VMEM scale ~linearly with bb while the MXU rate does not
     # (each batched dot is bb independent (Np, Np) tile passes either way).
+    # Mosaic requires the block's second-to-last dim to be a multiple of 8
+    # or equal to the array dim, so awkward widths (e.g. nSpec=60 -> bp=30,
+    # the reference's own Tutorial_GPU operating point) are PADDED up to a
+    # multiple of the block with benign vacuum points (Em1=0 -> t=I, all
+    # sources zero) and the outputs sliced back.
     bb = bp_tot if bp_tot <= block else block
-    while bp_tot % bb:
-        bb //= 2
-    grid = (bp_tot // bb, nz)
+    bp_pad = bp_tot
+    if bp_tot > block and bp_tot % bb:
+        bp_pad = ((bp_tot + bb - 1) // bb) * bb
+        padn = bp_pad - bp_tot
+
+        def padp(x, axis, value=0.0):
+            widths = [(0, 0)] * x.ndim
+            widths[axis] = (0, padn)
+            return jnp.pad(x, widths, constant_values=value)
+        wrow = padp(wrow, 2)
+        Em1p = padp(Em1p, 1)
+        dtp = padp(dtp, 1)
+        j0_p = padp(j0_p, 1)
+        jm_star = padp(jm_star, 1)
+        ekr = padp(ekr, 1, value=1.0)
+    grid = (bp_pad // bb, nz)
 
     def vmem(shape):
         return pl.BlockSpec(shape, lambda i, z: (_I0,) * len(shape),
@@ -318,8 +336,8 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                          memory_space=pltpu.VMEM)
     vec_o = pl.BlockSpec((bb, Np, K), lambda i, z: (i, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    out_shapes = (jax.ShapeDtypeStruct((bp_tot, Np, Np), dtype),) * 4 + \
-                 (jax.ShapeDtypeStruct((bp_tot, Np, K), dtype),) * 2
+    out_shapes = (jax.ShapeDtypeStruct((bp_pad, Np, Np), dtype),) * 4 + \
+                 (jax.ShapeDtypeStruct((bp_pad, Np, K), dtype),) * 2
 
     kernel = partial(_moment_kernel, nz=nz, ns_sched=ns_sched,
                      ns_inter=ns_inter, dot_mode=dot_mode)
@@ -333,5 +351,8 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )
-    return fn(Zbd_pp, Zbd_mp, geom, zflag, wrow.astype(dtype),
-              Em1p.astype(dtype), dtp.astype(dtype), j0_p, jm_star, ekr)
+    out = fn(Zbd_pp, Zbd_mp, geom, zflag, wrow.astype(dtype),
+             Em1p.astype(dtype), dtp.astype(dtype), j0_p, jm_star, ekr)
+    if bp_pad != bp_tot:
+        out = tuple(o[:bp_tot] for o in out)
+    return out
