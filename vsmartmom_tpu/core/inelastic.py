@@ -184,6 +184,37 @@ def ie_elemental(shift, w_rr, fscatt, dtau, tau_sum, Z_pp_r, Z_mp_r,
     return ier, iet, iejp * att0, iejm * att0
 
 
+def _ie_prec():
+    return None if IE_PRECISION == "default" else IE_PRECISION
+
+
+def _L(a, X):
+    """Elastic-left product a(s,N,N) @ X(nR,s,N,N) WITHOUT broadcasting a
+    to the shift axis: one wide batched GEMM per spectral point (round-4
+    profiler fix — the vmapped form materialized (nR,s,N,N) copies of
+    every elastic operand)."""
+    return jnp.einsum("snm,rsml->rsnl", a, X, precision=_ie_prec())
+
+
+def _Lv(a, x):
+    return jnp.einsum("snm,rsm->rsn", a, x, precision=_ie_prec())
+
+
+def _B(X, Y):
+    """Per-shift batched product (both operands carry the shift axis)."""
+    return jnp.einsum("rsnm,rsml->rsnl", X, Y, precision=_ie_prec())
+
+
+def _Bv(X, y):
+    return jnp.einsum("rsnm,rsm->rsn", X, y, precision=_ie_prec())
+
+
+def _roll_all(src_fn, shifts, *arrays):
+    """Per-shift source-wavelength views (nR, ...) of elastic arrays."""
+    return tuple(jax.vmap(lambda sh, a=a: src_fn(a, sh))(shifts)
+                 for a in arrays)
+
+
 def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts,
                      src_fn=_roll0):
     """One doubling step of the (starred) ie quantities given the elastic
@@ -191,35 +222,40 @@ def ie_doubling_step(r, t, jp, jm, ek, gp, tt_gp, ie_carry, shifts,
 
     ie_carry = (ier*, iet, iejp, iejm*) with leading shift axis; r/jm are the
     starred elastic quantities; jp/jm are the solar source slot (s, N).
-    """
-    def per_shift(shift, ier, iet, iejp, iejm):
-        R0 = lambda x: src_fn(x, shift)
-        ek0 = R0(ek)
-        j1p = jp * ek[:, None]
-        j1m = jm * ek[:, None]
-        iej1p = iejp * ek0[:, None]
-        iej1m = iejm * ek0[:, None]
 
-        tmp1 = _mv(gp, jp + _mv(r, j1m))
-        tmp2 = _mv(gp, j1m + _mv(r, jp))
+    TPU layout discipline (round-4 profiler finding): every product with an
+    elastic LEFT factor is a wide einsum (_L/_Lv — no (nR, s, N, N)
+    broadcasts of elastic operands), and rolled per-shift elastic products
+    are built by rolling the PRE-MULTIPLIED elastic arrays (roll commutes
+    with s-pointwise matrix products: gp0 @ t0 = R0(gp @ t)), so only five
+    matrix rolls materialize per step instead of per-product copies."""
+    ier, iet, iejp, iejm = ie_carry
+    j1p = jp * ek[:, None]
+    j1m = jm * ek[:, None]
+    tmp1 = _mv_exact(gp, jp + _mv_exact(r, j1m))
+    tmp2 = _mv_exact(gp, j1m + _mv_exact(r, jp))
+    gp_t = _bmm_exact(gp, t)
+    gp_r = _bmm_exact(gp, r)
+    gp_r_t = _bmm_exact(gp_r, t)
 
-        r0, t0 = R0(r), R0(t)
-        gp0, tmp1_0, tmp2_0 = R0(gp), R0(tmp1), R0(tmp2)
-        mix = _bmm(r, ier) + _bmm(ier, r0)        # (r r)_ie
+    (r0, t0, G_t0, G_rt0, G_r0) = _roll_all(
+        src_fn, shifts, r, t, gp_t, gp_r_t, gp_r)
+    (ek0, j1m0, jp0, tmp1_0, tmp2_0) = _roll_all(
+        src_fn, shifts, ek, j1m, jp, tmp1, tmp2)
 
-        iejp_new = iej1p + _mv(tt_gp, iejp + _mv(r, iej1m) + _mv(ier, R0(j1m))
-                               + _mv(mix, tmp1_0)) + _mv(iet, tmp1_0)
-        iejm_new = iejm + _mv(tt_gp, iej1m + _mv(ier, R0(jp)) + _mv(r, iejp)
-                              + _mv(mix, tmp2_0)) + _mv(iet, tmp2_0)
+    iej1p = iejp * ek0[:, :, None]
+    iej1m = iejm * ek0[:, :, None]
+    mix = _L(r, ier) + _B(ier, r0)               # (r r)_ie
 
-        gp0_t0 = _bmm(gp0, t0)
-        iet_new = _bmm(tt_gp, iet + _bmm(mix, gp0_t0)) + _bmm(iet, gp0_t0)
-        ier_new = ier + _bmm(iet, _bmm(gp0, _bmm(r0, t0))) + \
-            _bmm(tt_gp, _bmm(r, iet)
-                 + _bmm(ier + _bmm(mix, _bmm(gp0, r0)), t0))
-        return ier_new, iet_new, iejp_new, iejm_new
+    iejp_new = iej1p + _Lv(tt_gp, iejp + _Lv(r, iej1m) + _Bv(ier, j1m0)
+                           + _Bv(mix, tmp1_0)) + _Bv(iet, tmp1_0)
+    iejm_new = iejm + _Lv(tt_gp, iej1m + _Bv(ier, jp0) + _Lv(r, iejp)
+                          + _Bv(mix, tmp2_0)) + _Bv(iet, tmp2_0)
 
-    return jax.vmap(per_shift)(shifts, *ie_carry)
+    iet_new = _L(tt_gp, iet + _B(mix, G_t0)) + _B(iet, G_t0)
+    ier_new = ier + _B(iet, G_rt0) + \
+        _L(tt_gp, _L(r, iet) + _B(ier + _B(mix, G_r0), t0))
+    return ier_new, iet_new, iejp_new, iejm_new
 
 
 def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
@@ -244,35 +280,41 @@ def ie_interaction(comp_el, add_el, comp_ie: IEComposite, add_ie: IEAdded,
     inv2 = _bsolve(eye_b - _bmm_exact(Rpm_c, r_a), eye_b)
     T21 = _bmm_exact(tpp_a, inv2)
 
-    def per_shift(shift, ieR_mp, ieR_pm, ieT_pp, ieT_mm, ieJp, ieJm,
-                  ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm):
-        R0 = lambda x: src_fn(x, shift)
+    # Elastic precomputes rolled as PRODUCTS (roll commutes with
+    # s-pointwise products) — the round-4 wide-einsum restructure; see
+    # ie_doubling_step's layout discipline note.
+    rT = _bmm_exact(r_a, Tpp_c)
+    Rt = _bmm_exact(Rpm_c, tmm_a)
+    u1 = _mv_exact(r_a, Jp_c) + jm_a
+    u2 = Jp_c + _mv_exact(Rpm_c, jm_a)
 
-        dinv1 = _bmm(inv1, _bmm(_bmm(ier_mp, R0(Rpm_c))
-                                + _bmm(r_a, ieR_pm), R0(inv1)))
-        dT01 = _bmm(ieT_mm, R0(inv1)) + _bmm(Tmm_c, dinv1)
+    (Rpm0, inv1_0, rT0, tmm0, ra0, inv2_0, Tpp0, Rt0) = _roll_all(
+        src_fn, shifts, Rpm_c, inv1, rT, tmm_a, r_a, inv2, Tpp_c, Rt)
+    (u1_0, Jp0, u2_0, jm0) = _roll_all(src_fn, shifts, u1, Jp_c, u2, jm_a)
 
-        ieJm_new = ieJm + _mv(dT01, R0(_mv(r_a, Jp_c) + jm_a)) + \
-            _mv(T01, _mv(ier_mp, R0(Jp_c)) + _mv(r_a, ieJp) + iejm)
-        ieR_mp_new = ieR_mp + _bmm(dT01, R0(_bmm(r_a, Tpp_c))) + \
-            _bmm(T01, _bmm(ier_mp, R0(Tpp_c)) + _bmm(r_a, ieT_pp))
-        ieT_mm_new = _bmm(dT01, R0(tmm_a)) + _bmm(T01, iet_mm)
+    (ieR_mp, ieR_pm, ieT_pp, ieT_mm, ieJp, ieJm) = comp_ie
+    (ier_mp, ier_pm, iet_pp, iet_mm, iejp, iejm) = add_ie
 
-        dinv2 = _bmm(inv2, _bmm(_bmm(ieR_pm, R0(r_a))
-                                + _bmm(Rpm_c, ier_mp), R0(inv2)))
-        dT21 = _bmm(iet_pp, R0(inv2)) + _bmm(tpp_a, dinv2)
+    dinv1 = _L(inv1, _B(_B(ier_mp, Rpm0) + _L(r_a, ieR_pm), inv1_0))
+    dT01 = _B(ieT_mm, inv1_0) + _L(Tmm_c, dinv1)
 
-        ieJp_new = iejp + _mv(dT21, R0(Jp_c + _mv(Rpm_c, jm_a))) + \
-            _mv(T21, ieJp + _mv(ieR_pm, R0(jm_a)) + _mv(Rpm_c, iejm))
-        ieT_pp_new = _bmm(dT21, R0(Tpp_c)) + _bmm(T21, ieT_pp)
-        ieR_pm_new = ier_pm + _bmm(dT21, R0(_bmm(Rpm_c, tmm_a))) + \
-            _bmm(T21, _bmm(ieR_pm, R0(tmm_a)) + _bmm(Rpm_c, iet_mm))
+    ieJm_new = ieJm + _Bv(dT01, u1_0) + \
+        _Lv(T01, _Bv(ier_mp, Jp0) + _Lv(r_a, ieJp) + iejm)
+    ieR_mp_new = ieR_mp + _B(dT01, rT0) + \
+        _L(T01, _B(ier_mp, Tpp0) + _L(r_a, ieT_pp))
+    ieT_mm_new = _B(dT01, tmm0) + _L(T01, iet_mm)
 
-        return (ieR_mp_new, ieR_pm_new, ieT_pp_new, ieT_mm_new,
-                ieJp_new, ieJm_new)
+    dinv2 = _L(inv2, _B(_B(ieR_pm, ra0) + _L(Rpm_c, ier_mp), inv2_0))
+    dT21 = _B(iet_pp, inv2_0) + _L(tpp_a, dinv2)
 
-    out = jax.vmap(per_shift)(shifts, *comp_ie, *add_ie)
-    return IEComposite(*out)
+    ieJp_new = iejp + _Bv(dT21, u2_0) + \
+        _Lv(T21, ieJp + _Bv(ieR_pm, jm0) + _Lv(Rpm_c, iejm))
+    ieT_pp_new = _B(dT21, Tpp0) + _L(T21, ieT_pp)
+    ieR_pm_new = ier_pm + _B(dT21, Rt0) + \
+        _L(T21, _B(ieR_pm, tmm0) + _L(Rpm_c, iet_mm))
+
+    return IEComposite(ieR_mp_new, ieR_pm_new, ieT_pp_new, ieT_mm_new,
+                       ieJp_new, ieJm_new)
 
 
 def ie_star(ie_fields, d_vec):
@@ -336,8 +378,12 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
     jm = j0_m * d_vec[None, :]
     jp, t = j0_p, t_pp
 
-    def step(carry, _):
-        r, t, jp, jm, ek, ier, iet, iejp, iejm = carry
+    # Static Python unroll (ndoubl is small): a lax.scan here copies the
+    # full (nR, s, N, N) x 4 ie carry every step — measured as a leading
+    # cost in the round-4 RRS device trace.
+    ier, iet, iejp, iejm = ie0
+    ek = expk
+    for _ in range(ndoubl):
         gp = _bsolve(eye[None] - _bmm_exact(r, r),
                      jnp.broadcast_to(eye, r.shape))
         tt_gp = _bmm_exact(t, gp)
@@ -351,13 +397,8 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
         jm_new = jm + _mv_exact(tt_gp, j1m + _mv_exact(r, jp))
         jp_new = j1p + _mv_exact(tt_gp, jp + _mv_exact(r, j1m))
         r_new = r + _bmm_exact(tt_gp, _bmm_exact(r, t))
-        t_new = _bmm_exact(tt_gp, t)
-        return (r_new, t_new, jp_new, jm_new, ek * ek,
-                ier, iet, iejp, iejm), None
-
-    carry0 = (r, t, jp, jm, expk) + tuple(ie0)
-    (r, t, jp, jm, _, ier, iet, iejp, iejm), _ = jax.lax.scan(
-        step, carry0, None, length=ndoubl)
+        t = _bmm_exact(tt_gp, t)
+        r, jp, jm, ek = r_new, jp_new, jm_new, ek * ek
 
     r_out = r * d_vec[None, :, None]
     jm_out = jm * d_vec[None, :]
