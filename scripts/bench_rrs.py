@@ -40,7 +40,7 @@ def main(n_spec=1024, reps=5):
     model = _model(n_spec)
     (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
      src_fn) = inelastic_setup(model)
-    print(f"nSpec={n_spec}, nShifts={shifts.shape[0]}, "
+    print(f"nSpec={n_spec}, nShifts={len(shifts)}, "
           f"n_m={config.m_max + 1}, nz={config.nz}, N={config.N}",
           flush=True)
 
@@ -60,7 +60,7 @@ def main(n_spec=1024, reps=5):
     _ = np.asarray(out["ieR"])
     dt = (time.perf_counter() - t0) / reps
     print(f"RRS+SIF solve: {dt*1e3:.1f} ms -> {n_spec/dt:.0f} pts/s "
-          f"({n_spec * shifts.shape[0] / dt:.2e} shift-pts/s)", flush=True)
+          f"({n_spec * len(shifts) / dt:.2e} shift-pts/s)", flush=True)
 
 
 if __name__ == "__main__":

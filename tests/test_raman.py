@@ -173,11 +173,11 @@ class TestVibrationalRaman:
         fscatt = np.ones((band.tau_rayl.shape[1], len(nu)))
 
         w_vec = np.zeros(len(nu)); w_vec[t] = w0
-        out_vs = rt_solve_rrs(inputs, config, jnp.array([0]),
+        out_vs = rt_solve_rrs(inputs, config, (0,),
                               jnp.asarray(w_vec[None, :]), jnp.asarray(Z_pp),
                               jnp.asarray(Z_mp), jnp.asarray(fscatt),
                               src_fn=_src_fixed0)
-        out_rrs = rt_solve_rrs(inputs, config, jnp.array([-t]),
+        out_rrs = rt_solve_rrs(inputs, config, (-t,),
                                jnp.asarray(np.array([w0])), jnp.asarray(Z_pp),
                                jnp.asarray(Z_mp), jnp.asarray(fscatt),
                                src_fn=_roll0)

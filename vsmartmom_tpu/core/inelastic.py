@@ -210,8 +210,27 @@ def _Bv(X, y):
 
 
 def _roll_all(src_fn, shifts, *arrays):
-    """Per-shift source-wavelength views (nR, ...) of elastic arrays."""
-    return tuple(jax.vmap(lambda sh, a=a: src_fn(a, sh))(shifts)
+    """Per-shift source-wavelength views (nR, ...) of elastic arrays.
+
+    When ``shifts`` is a static tuple and the source map is the standard
+    RRS roll, each per-shift view is a compile-time SLICE of one
+    zero-padded copy (out-of-band targets fall on the padding, so the
+    validity mask is free) — the traced-shift form lowers to gathers,
+    measured at 40% of the whole RRS solve (PERF.md r4). Falls back to
+    the vmapped traced form otherwise (VS fixed-source mode)."""
+    if isinstance(shifts, tuple) and src_fn is _roll0:
+        M = max(max(abs(int(sh)) for sh in shifts), 1)
+        outs = []
+        for a in arrays:
+            S = a.shape[0]
+            widths = [(M, M)] + [(0, 0)] * (a.ndim - 1)
+            ap = jnp.pad(a, widths)
+            outs.append(jnp.stack([
+                jax.lax.dynamic_slice_in_dim(ap, M + int(sh), S, axis=0)
+                for sh in shifts]))
+        return tuple(outs)
+    shifts_arr = jnp.asarray(shifts)
+    return tuple(jax.vmap(lambda sh, a=a: src_fn(a, sh))(shifts_arr)
                  for a in arrays)
 
 
@@ -378,12 +397,8 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
     jm = j0_m * d_vec[None, :]
     jp, t = j0_p, t_pp
 
-    # Static Python unroll (ndoubl is small): a lax.scan here copies the
-    # full (nR, s, N, N) x 4 ie carry every step — measured as a leading
-    # cost in the round-4 RRS device trace.
-    ier, iet, iejp, iejm = ie0
-    ek = expk
-    for _ in range(ndoubl):
+    def step(carry, _):
+        r, t, jp, jm, ek, ier, iet, iejp, iejm = carry
         gp = _bsolve(eye[None] - _bmm_exact(r, r),
                      jnp.broadcast_to(eye, r.shape))
         tt_gp = _bmm_exact(t, gp)
@@ -397,8 +412,13 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
         jm_new = jm + _mv_exact(tt_gp, j1m + _mv_exact(r, jp))
         jp_new = j1p + _mv_exact(tt_gp, jp + _mv_exact(r, j1m))
         r_new = r + _bmm_exact(tt_gp, _bmm_exact(r, t))
-        t = _bmm_exact(tt_gp, t)
-        r, jp, jm, ek = r_new, jp_new, jm_new, ek * ek
+        t_new = _bmm_exact(tt_gp, t)
+        return (r_new, t_new, jp_new, jm_new, ek * ek,
+                ier, iet, iejp, iejm), None
+
+    carry0 = (r, t, jp, jm, expk) + tuple(ie0)
+    (r, t, jp, jm, _, ier, iet, iejp, iejm), _ = jax.lax.scan(
+        step, carry0, None, length=ndoubl)
 
     r_out = r * d_vec[None, :, None]
     jm_out = jm * d_vec[None, :]
@@ -419,21 +439,25 @@ def _add_dict(add: _AddedLayer):
             "j0_m": add.j0_m[..., 0]}
 
 
-@_partial(jax.jit, static_argnames=("config", "src_fn"))
+@_partial(jax.jit, static_argnames=("config", "shifts", "src_fn"))
 def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
                  shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt, src_fn=_roll0):
     """Full RRS solve (reference rt_run(RRS(), model), rt_run.jl:238-539 with
     the inelastic kernels). Returns dict with the elastic R/T and the
     inelastic ieR/ieT (each (nVZA, nStokes, nSpec)).
 
-    Extra args: shifts (nR,) int index offsets; w_shifts (nR,) normalized
-    Raman weights; Z_r_pp/Z_r_mp (n_m, N, N) Raman phase supermatrices;
-    fscatt (Nz, nSpec) Rayleigh fraction of layer scattering.
+    Extra args: shifts — STATIC tuple of nR int index offsets (compile-time
+    shifts turn every source-wavelength roll into plain slices; the traced
+    form gathered — 40% of the solve, PERF.md r4); w_shifts (nR,)
+    normalized Raman weights; Z_r_pp/Z_r_mp (n_m, N, N) Raman phase
+    supermatrices; fscatt (Nz, nSpec) Rayleigh fraction of layer
+    scattering.
     """
     dtype = jnp.dtype(config.dtype)
     n_spec, N, nz = config.n_spec, config.N, config.nz
     ns = config.n_stokes
-    n_r = shifts.shape[0]
+    n_r = len(shifts)
+    shifts_arr = jnp.asarray(shifts, jnp.int32)
 
     qp_mu_N = inputs.qp_mu_N.astype(dtype)
     wt_mu_N = inputs.wt_mu_N.astype(dtype)
@@ -475,7 +499,7 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
                                        Z_r_pp_m, Z_r_mp_m,
                                        qp_mu_N, wct, mu0, config.i_mu0_start,
                                        ns, F0, fw, src_fn)
-        )(shifts, w_shifts)
+        )(shifts_arr, w_shifts)
 
         expk = _exp(-dtau / mu0)
         add, add_ie = doubling_rs(r_mp, t_pp, j_p, j_m, expk, ie_el,
@@ -586,9 +610,9 @@ def inelastic_setup(model, i_band: int = 0, mode: str = "RRS"):
                                        else prof.T)
     fscatt = band.tau_rayl.T / np.where(tau_scat_mix > 0, tau_scat_mix, 1.0)
 
-    return (inputs, config, jnp.asarray(shifts), jnp.asarray(w_shifts),
-            jnp.asarray(Z_r_pp), jnp.asarray(Z_r_mp), jnp.asarray(fscatt),
-            src_fn)
+    return (inputs, config, tuple(int(v) for v in shifts),
+            jnp.asarray(w_shifts), jnp.asarray(Z_r_pp), jnp.asarray(Z_r_mp),
+            jnp.asarray(fscatt), src_fn)
 
 
 def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):

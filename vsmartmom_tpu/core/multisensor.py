@@ -241,12 +241,14 @@ def ie_interlayer_flux(top, bot, top_ie: IEComposite, bot_ie: IEComposite,
                                        + _mv(bot.R_mp, tJp))
         return iedw, ieuw
 
-    iedw, ieuw = jax.vmap(per_shift)(shifts, *top_ie, *bot_ie)
+    iedw, ieuw = jax.vmap(per_shift)(jnp.asarray(shifts, jnp.int32),
+                                     *top_ie, *bot_ie)
     dwJ, uwJ = interlayer_flux(top, bot)
     return dwJ.sum(axis=-1), uwJ.sum(axis=-1), iedw.sum(0), ieuw.sum(0)
 
 
-@partial(jax.jit, static_argnames=("config", "sensor_levels", "src_fn"))
+@partial(jax.jit,
+         static_argnames=("config", "sensor_levels", "shifts", "src_fn"))
 def rt_solve_ms_rrs(inputs: SolverInputs, config: SolverConfig,
                     sensor_levels: tuple, shifts, w_shifts, Z_r_pp, Z_r_mp,
                     fscatt, src_fn=_roll0):
@@ -262,7 +264,8 @@ def rt_solve_ms_rrs(inputs: SolverInputs, config: SolverConfig,
     dtype = jnp.dtype(config.dtype)
     n_spec, N, nz = config.n_spec, config.N, config.nz
     ns = config.n_stokes
-    n_r = shifts.shape[0]
+    n_r = len(shifts)
+    shifts_arr = jnp.asarray(shifts, jnp.int32)
 
     qp_mu_N = inputs.qp_mu_N.astype(dtype)
     wt_mu_N = inputs.wt_mu_N.astype(dtype)
@@ -303,7 +306,7 @@ def rt_solve_ms_rrs(inputs: SolverInputs, config: SolverConfig,
                 lambda sh, w: ie_elemental(
                     sh, w, fscatt_z, dtau, tau_sum_z, Z_r_pp_m, Z_r_mp_m,
                     qp_mu_N, wct, mu0, config.i_mu0_start, ns, F0, fw,
-                    src_fn))(shifts, w_shifts)
+                    src_fn))(shifts_arr, w_shifts)
             expk = _exp(-dtau / mu0)
             add, add_ie = doubling_rs(r_mp, t_pp, j_p, j_m, expk, ie_el,
                                       config.ndoubl, d_vec, shifts, src_fn)

@@ -268,7 +268,8 @@ def rt_run_stellar(model, i_band: int = 0, mode: str = "sol_RRS",
                              "Raman shift (H2 lines span ~ +-1800 cm^-1 "
                              "with ~350 cm^-1 spacing)")
         Zp, Zm = z_stack(greek_raman_stellar())
-        out = rt_solve_rrs(inputs, config, jnp.asarray(shifts),
+        out = rt_solve_rrs(inputs, config,
+                           tuple(int(v) for v in shifts),
                            jnp.asarray(w), Zp, Zm, fscatt, src_fn=_roll0)
         return (np.asarray(out["R"]), np.asarray(out["T"]),
                 np.asarray(out["ieR"]), np.asarray(out["ieT"]))
@@ -289,7 +290,8 @@ def rt_run_stellar(model, i_band: int = 0, mode: str = "sol_RRS",
     for w_t, greek in ((w_rvrs, greek_raman_stellar()),
                        (w_vrs, greek_raman_stellar_vs(h2))):
         Zp, Zm = z_stack(greek)
-        out = rt_solve_rrs(inputs, config, jnp.asarray(shifts),
+        out = rt_solve_rrs(inputs, config,
+                           tuple(int(v) for v in shifts),
                            jnp.asarray(w_t[None, :]), Zp, Zm, fscatt,
                            src_fn=_src_fixed0)
         if R is None:
