@@ -132,7 +132,7 @@ class TestRamanSharded:
         tau_rayl = band.tau_rayl.T                       # (Nz, nSpec)
         fscatt = tau_rayl / np.maximum(np.asarray(inputs.tau), 1e-300)
 
-        args = (jnp.asarray(shifts), jnp.asarray(w_shifts),
+        args = (tuple(int(v) for v in shifts), jnp.asarray(w_shifts),
                 jnp.asarray(Z_r_pp), jnp.asarray(Z_r_mp),
                 jnp.asarray(fscatt))
 

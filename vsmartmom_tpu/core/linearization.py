@@ -268,6 +268,11 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         layout = default_layout(model, i_band)
     inputs, config, tangents = build_tangent_inputs(model, i_band, layout,
                                                     fd_rel)
+    import dataclasses
+    if config.fused:
+        # Smaller spectral block for the tangent kernel: its Mosaic
+        # compile scales with block size times the doubled jvp body.
+        config = dataclasses.replace(config, band_block=8)
     # AD path: jax.jvp straight through rt_solve INCLUDING the fused
     # Pallas band kernel — pallas_call's automatic JVP rule generates the
     # tangent kernel (see ops/fused_band._moment_kernel's

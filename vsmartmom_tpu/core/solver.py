@@ -255,7 +255,8 @@ def rt_solve(inputs: SolverInputs, config: SolverConfig):
                     n_stokes=config.n_stokes,
                     i_mu0_start=config.i_mu0_start,
                     n_sources=config.n_sources,
-                    dot_mode=config.dot_mode))
+                    dot_mode=config.dot_mode,
+                    block=config.band_block))
         else:
             step = partial(_layer_step, Z_pp_m=Z_pp_m, Z_mp_m=Z_mp_m,
                            qp_mu_N=qp_mu_N, wt_mu_N=wt_mu_N, mu0=mu0,

@@ -47,6 +47,12 @@ class SolverConfig:
                          # Moments above it use the exact diagonal Beer-law
                          # shortcut (reference ScatteringInterface_00 traits,
                          # types.jl:424-435, done as a static split).
+    band_block: int = 16
+                         # Spectral block (packed points per Pallas program)
+                         # for the band kernel. 16 is the measured best
+                         # runtime/compile balance; rt_run_lin drops to 8 —
+                         # the auto-derived tangent kernel's Mosaic compile
+                         # scales ~4x faster there (752 s -> ~3 min).
     dot_mode: str = "highest"
                          # In-kernel (Pallas) matmul precision for the fused
                          # doubling/interaction ladder:

@@ -190,7 +190,7 @@ def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
 def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                  thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
                  *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
-                 n_stokes, i_mu0_start, n_sources=1, block=8,
+                 n_stokes, i_mu0_start, n_sources=1, block=16,
                  interpret=None, dot_mode="highest"):
     """Run all nz layers of one Fourier moment in one Pallas kernel.
 
@@ -276,10 +276,11 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     geom = _geom_tables(qp_mu_N.astype(dtype), wct.astype(dtype),
                         d_vec.astype(dtype), pack, dtype)
 
-    # Spectral blocking: bb packed points per program. Keep bb SMALL
-    # (default 8): Mosaic unrolls the batch dim of every dot, so compile
-    # time and VMEM scale ~linearly with bb while the MXU rate does not
-    # (each batched dot is bb independent (Np, Np) tile passes either way).
+    # Spectral blocking: bb packed points per program. Keep bb SMALL:
+    # Mosaic unrolls the batch dim of every dot, so compile time and VMEM
+    # scale ~linearly with bb. Measured r4 (n_spec=1024, flagship): block
+    # 8 -> 2322 pts/s, 16 -> 2416, 32 -> 2450 but ~8 min compile — 16 is
+    # the adopted balance.
     # Mosaic requires the block's second-to-last dim to be a multiple of 8
     # or equal to the array dim, so awkward widths (e.g. nSpec=60 -> bp=30,
     # the reference's own Tutorial_GPU operating point) are PADDED up to a

@@ -116,6 +116,12 @@ def _ns_inverse(S, ns_iters: int, mode: str = "highest"):
     """
     eye = _eye_like(S)
     m = eye + S
+    if mode == "split3" and S.dtype == jnp.float32:
+        Ssp = _sp(S)                   # S constant across iterations
+        for _ in range(ns_iters):
+            msp = _sp(m)
+            m = _dot3(msp, _sp(2.0 * eye - m + _dot3(Ssp, msp)))
+        return m
     for _ in range(ns_iters):
         m = _bmm(m, 2.0 * eye - m + _bmm(S, m, mode), mode)
     return m
@@ -131,6 +137,33 @@ def _norm_sched(ns_sched, ndoubl):
     ns_sched = tuple(int(k) for k in ns_sched)
     assert len(ns_sched) == ndoubl, (ns_sched, ndoubl)
     return ns_sched
+
+
+def _sp(x):
+    """bf16 hi/lo split of an f32 operand (split once, reuse across dots —
+    the split casts are VPU work measured at ~25% of the whole solve when
+    done per-dot)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _cat_sp(parts, axis=-1):
+    """Concat of pre-split operands: bf16(concat(x...)) == concat(bf16(x)...)
+    exactly, so split halves concatenate."""
+    return (jnp.concatenate([p[0] for p in parts], axis=axis),
+            jnp.concatenate([p[1] for p in parts], axis=axis))
+
+
+def _dot3(asp, bsp):
+    """3-pass bf16 product of pre-split operands (see _bmm split3)."""
+    ah, al = asp
+    bh, bl = bsp
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, _BDIMS, preferred_element_type=jnp.float32)
+    return d(ah, bh) + d(ah, bl) + d(al, bh)
 
 
 def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
@@ -164,16 +197,19 @@ def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
     M = "split3"
 
     for ns_iters in ns_sched:
-        gp = _ns_inverse(_bmm(r, r, M), ns_iters, M)
+        rsp = _sp(r)
+        ssp = _sp(s)
+        gp = _ns_inverse(_dot3(rsp, rsp), ns_iters, M)
         g = gp - eye
-        v = s + d[:, :, None] * g + _bmm(s, g, M)
+        gsp = _sp(g)
+        v = s + d[:, :, None] * g + _dot3(ssp, gsp)
         jm_e = jm * ek_rows
-        X = _bmm(r, jnp.concatenate([s, jp, jm_e], axis=-1), M)
+        X = _dot3(rsp, _cat_sp([ssp, _sp(jp), _sp(jm_e)]))
         rt = r * d[:, None, :] + X[..., :N]        # r @ t  (col-scale + r@s)
         r_jp, r_jme = X[..., N:N + K], X[..., N + K:]
         c3 = jm_e + r_jp
         c4 = jp + r_jme
-        W = _bmm(v, jnp.concatenate([s, rt, c3, c4], axis=-1), M)
+        W = _dot3(_sp(v), _cat_sp([ssp, _sp(rt), _sp(c3), _sp(c4)]))
         s = (v * d[:, None, :] + d[:, :, None] * s + W[..., :N])
         r = r + d[:, :, None] * rt + W[..., N:2 * N]
         jm = jm + d[:, :, None] * c3 + W[..., 2 * N:2 * N + K]
@@ -236,9 +272,47 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched, mode: str = "highest",
     return r, t, jp, jm
 
 
+def _interaction_math_split3(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
+                             r_mp, r_pm, t_pp, t_mm, j0_p, j0_m,
+                             ns_iters: int):
+    """split3 interaction with operand splits deduplicated (r_mp, R_pm,
+    inv1, T_pp are each split once and reused — same algebra as
+    _interaction_math at mode='split3')."""
+    N = R_mp.shape[-1]
+    rsp = _sp(r_mp)
+    Rpmsp = _sp(R_pm)
+    Tppsp = _sp(T_pp)
+    tmmsp = _sp(t_mm)
+    inv1 = _ns_inverse(_dot3(rsp, Rpmsp), ns_iters, "split3")
+    i1sp = _sp(inv1)
+    T01_inv = _dot3(_sp(T_mm), i1sp)
+
+    X = _dot3(rsp, _cat_sp([Tppsp, _sp(J0_p)]))
+    rT, rJ = X[..., :N], X[..., N:]
+    Y1 = _dot3(_sp(T01_inv), _cat_sp([tmmsp, _sp(rT), _sp(rJ + j0_m)]))
+    T_mm_new = Y1[..., :N]
+    R_mp_new = R_mp + Y1[..., N:2 * N]
+    J0_m_new = J0_m + Y1[..., 2 * N:]
+
+    u = _dot3(i1sp, rsp)
+    Z = _dot3(Rpmsp, _cat_sp([_sp(u), tmmsp, _sp(j0_m)]))
+    Ru, Rt, Rj = Z[..., :N], Z[..., N:2 * N], Z[..., 2 * N:]
+    T21_inv = t_pp + _dot3(_sp(t_pp), _sp(Ru))
+
+    Y2 = _dot3(_sp(T21_inv), _cat_sp([Tppsp, _sp(Rt), _sp(J0_p + Rj)]))
+    T_pp_new = Y2[..., :N]
+    R_pm_new = r_pm + Y2[..., N:2 * N]
+    J0_p_new = j0_p + Y2[..., 2 * N:]
+    return R_mp_new, R_pm_new, T_pp_new, T_mm_new, J0_p_new, J0_m_new
+
+
 def _interaction_math(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
                       r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters: int,
                       mode: str = "highest"):
+    if mode == "split3" and R_mp.dtype == jnp.float32:
+        return _interaction_math_split3(
+            R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
+            r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters)
     """Adding step (Sanghavi 2014 Eqs. 23-28) with a single Newton-Schulz
     inverse: the second geometric factor comes from the push-through
     identity (I - R+- r-+)^-1 = I + R+- (I - r-+ R+-)^-1 r-+."""
