@@ -416,9 +416,12 @@ def doubling_rs(r_mp, t_pp, j0_p, j0_m, expk, ie_fields, ndoubl: int,
         return (r_new, t_new, jp_new, jm_new, ek * ek,
                 ier, iet, iejp, iejm), None
 
-    carry0 = (r, t, jp, jm, expk) + tuple(ie0)
-    (r, t, jp, jm, _, ier, iet, iejp, iejm), _ = jax.lax.scan(
-        step, carry0, None, length=ndoubl)
+    # (Round-4 note: a Python unroll of this scan was measured
+    # wall-neutral on TPU — XLA aliases the scan carries — so the scan
+    # stays for its ~2x smaller compile.)
+    carry = (r, t, jp, jm, expk) + tuple(ie0)
+    carry, _ = jax.lax.scan(step, carry, None, length=ndoubl)
+    (r, t, jp, jm, _, ier, iet, iejp, iejm) = carry
 
     r_out = r * d_vec[None, :, None]
     jm_out = jm * d_vec[None, :]
