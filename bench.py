@@ -177,5 +177,37 @@ def main():
     }))
 
 
+def _main_with_retries():
+    """The axon tunnel occasionally throws transient ABORTED/UNAVAILABLE
+    TPU errors that poison the client — retry in a FRESH process (the
+    persistent compile cache makes retries cheap). The LAST line printed
+    is always the single JSON result line."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("VSM_BENCH_INNER"):
+        main()
+        return
+    last_err = None
+    for attempt in range(3):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "VSM_BENCH_INNER": "1"},
+            capture_output=True, text=True, timeout=3600)
+        lines = [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return
+        last_err = (proc.stderr or proc.stdout)[-300:]
+        print(f"# bench attempt {attempt + 1} failed, retrying: "
+              f"{last_err!r}", file=sys.stderr)
+    print(json.dumps({"metric": "spectral_points_per_s_per_chip",
+                      "value": -1.0, "unit": "points/s",
+                      "vs_baseline": 0.0,
+                      "error": f"3 attempts failed: {last_err}"}))
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retries()
