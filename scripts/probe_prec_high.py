@@ -1,5 +1,7 @@
-"""Measure the 3-pass (precision='high') ladder against 6-pass 'highest':
-parity vs the plain XLA path and sustained throughput at bench shapes."""
+"""HISTORICAL (round 3) — INVALID probe, kept for the record: rt_solve is
+itself jitted with static config, so patching fused_rt._bmm after the
+first compile reused the cached executable (PERF.md round-4 precision
+study). Use scripts/probe_prec_bench.py / probe_split3.py instead."""
 import dataclasses
 import sys
 import time
@@ -17,7 +19,7 @@ from vsmartmom_tpu.core.solver import rt_solve  # noqa: E402
 def set_precision(prec):
     import jax.numpy as jnp
 
-    def _bmm(a, b):
+    def _bmm(a, b, mode="highest"):
         return jax.lax.dot_general(
             a, b, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32, precision=prec)
