@@ -191,10 +191,16 @@ def _main_with_retries():
         return
     last_err = None
     for attempt in range(3):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "VSM_BENCH_INNER": "1"},
-            capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "VSM_BENCH_INNER": "1"},
+                capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            last_err = f"inner bench timed out after {e.timeout}s"
+            print(f"# bench attempt {attempt + 1} failed, retrying: "
+                  f"{last_err!r}", file=sys.stderr)
+            continue
         lines = [ln for ln in proc.stdout.splitlines()
                  if ln.startswith("{")]
         if proc.returncode == 0 and lines:

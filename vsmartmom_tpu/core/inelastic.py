@@ -558,6 +558,117 @@ def rt_solve_rrs(inputs: SolverInputs, config: SolverConfig,
     return {"R": R, "T": T, "ieR": ieR, "ieT": ieT}
 
 
+@_partial(jax.jit, static_argnames=("config", "shifts"))
+def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
+                       shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt):
+    """Band-kernel RRS solve: the elastic composite comes from the elastic
+    fused band kernel (ops/fused_band.py, packed) and the ENTIRE inelastic
+    ladder + per-layer adding runs in the block-bichromatic band kernel
+    (ops/fused_rrs.py — one pack=2 problem per (shift, point) pair); only
+    the surface step runs the XLA ie_interaction. Same returns as
+    rt_solve_rrs. Requires the standard RRS roll source map (static
+    integer shifts).
+    """
+    dtype = jnp.dtype(config.dtype)
+    n_spec, N, nz = config.n_spec, config.N, config.nz
+    ns = config.n_stokes
+    n_r = len(shifts)
+    p = config.pack
+
+    qp_mu_N = inputs.qp_mu_N.astype(dtype)
+    wt_mu_N = inputs.wt_mu_N.astype(dtype)
+    mu0 = qp_mu_N[config.i_mu0_start]
+    d_vec = jnp.asarray(stokes_d_vector(ns, config.nquad), dtype)
+
+    tau = inputs.tau.astype(dtype)
+    scat_w = inputs.scat_w.astype(dtype)
+    F0 = inputs.F0.astype(dtype)
+    surf_spec = inputs.surf_spec.astype(dtype)
+    fscatt = fscatt.astype(dtype)
+    w_shifts = w_shifts.astype(dtype)
+
+    tau_sum = jnp.concatenate(
+        [jnp.zeros((1, n_spec), dtype), jnp.cumsum(tau, axis=0)], axis=0)
+
+    # f64-accurate transcendental precursors, shared by both kernels
+    # (identical to solver.rt_solve's use_band block).
+    dtau_z = tau / (2.0 ** config.ndoubl)
+    Em1_pre = _expm1(-dtau_z[:, :, None] / qp_mu_N[None, None, :])
+    Em10_pre = _expm1(-dtau_z / mu0)
+    att_pre = _exp(-tau_sum[:nz] / mu0)
+    ek_pre = _exp(-dtau_z / mu0)
+    idx = jnp.arange(N)
+    is_I_vec = ((idx % ns) == 0).astype(dtype)
+    in_blk_vec = (((idx >= config.i_mu0_start)
+                   & (idx < config.i_mu0_start + ns))
+                  | (jnp.abs(qp_mu_N - mu0) <= 1e-9 * mu0)).astype(dtype)
+
+    nvza = len(config.vza_idx)
+    vza_rows = _np.asarray(
+        [[v * ns + k for k in range(ns)] for v in config.vza_idx])
+    n_m = config.m_max + 1
+    fourier_w_all = jnp.asarray([0.5] + [0.25] * (n_m - 1), dtype)
+
+    from ..ops.fused_band import fused_moment
+    from ..ops.fused_rrs import fused_moment_rrs
+    from ..ops.packing import unpack_mat, unpack_vec
+    from .solver import _surface_layer
+
+    def moment_body(carry, xs):
+        R, T, ieR, ieT = carry
+        (Z_pp_m, Z_mp_m, Z_r_pp_m, Z_r_mp_m, surf_r_m, surf_j_m,
+         direct_m, vza_w_m, fw, is_m0) = xs
+
+        comp_p = fused_moment(
+            Z_pp_m, Z_mp_m, tau, scat_w, Em1_pre, Em10_pre, att_pre,
+            ek_pre, jnp.zeros_like(tau), F0 * fw, qp_mu_N, fw * wt_mu_N,
+            d_vec, is_I_vec, in_blk_vec, ndoubl=config.ndoubl,
+            ns_sched=config.ns_sched or None, ns_inter=config.ns_inter,
+            pack=p, n_stokes=ns, i_mu0_start=config.i_mu0_start,
+            n_sources=1, block=config.band_block,
+            dot_mode=config.dot_mode)
+        comp = _CompositeLayer(*(unpack_mat(a, p) for a in comp_p[:4]),
+                               *(unpack_vec(a, p) for a in comp_p[4:]))
+
+        comp_ie = IEComposite(*fused_moment_rrs(
+            Z_pp_m, Z_mp_m, Z_r_pp_m, Z_r_mp_m, tau, scat_w, Em1_pre,
+            Em10_pre, att_pre, ek_pre, fscatt, shifts, w_shifts, F0 * fw,
+            qp_mu_N, fw * wt_mu_N, d_vec, in_blk_vec,
+            ndoubl=config.ndoubl, ns_sched=config.ns_sched or None,
+            ns_inter=config.ns_inter, n_stokes=ns,
+            i_mu0_start=config.i_mu0_start, block=config.band_block,
+            dot_mode=config.dot_mode))
+
+        sif0 = inputs.sif_spec.astype(dtype)
+        surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
+                              tau_sum[nz], mu0, sif0, is_m0, config, dtype)
+        add_ie0 = ie_added_zero(n_r, n_spec, N, dtype)
+        comp_ie = ie_interaction(_comp_dict(comp), _add_dict(surf),
+                                 comp_ie, add_ie0, shifts, _roll0)
+        comp = _interaction(comp, surf)
+
+        J0_m = comp.J0_m[..., 0]
+        J0_p = comp.J0_p[..., 0]
+        ieJm_tot = comp_ie.ieJm.sum(axis=0)
+        ieJp_tot = comp_ie.ieJp.sum(axis=0)
+
+        w3 = vza_w_m[:, :, None]
+        R = R + jnp.transpose(J0_m[:, vza_rows], (1, 2, 0)) * w3
+        T = T + jnp.transpose(J0_p[:, vza_rows], (1, 2, 0)) * w3
+        ieR = ieR + jnp.transpose(ieJm_tot[:, vza_rows], (1, 2, 0)) * w3
+        ieT = ieT + jnp.transpose(ieJp_tot[:, vza_rows], (1, 2, 0)) * w3
+        return (R, T, ieR, ieT), None
+
+    z0 = jnp.zeros((nvza, ns, n_spec), dtype)
+    xs = (inputs.Z_pp.astype(dtype), inputs.Z_mp.astype(dtype),
+          Z_r_pp.astype(dtype), Z_r_mp.astype(dtype),
+          inputs.surf_r.astype(dtype), inputs.surf_j_m.astype(dtype),
+          inputs.surf_direct_m.astype(dtype), inputs.vza_w.astype(dtype),
+          fourier_w_all, jnp.arange(n_m) == 0)
+    (R, T, ieR, ieT), _ = jax.lax.scan(moment_body, (z0, z0, z0, z0), xs)
+    return {"R": R, "T": T, "ieR": ieR, "ieT": ieT}
+
+
 def inelastic_setup(model, i_band: int = 0, mode: str = "RRS"):
     """Shared setup for every inelastic driver (TOA/BOA, multisensor):
     returns (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
@@ -636,7 +747,13 @@ def rt_run_inelastic(model, i_band: int = 0, mode: str = "RRS"):
 
     (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
      src_fn) = inelastic_setup(model, i_band, mode)
-    out = rt_solve_rrs(inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp,
-                       fscatt, src_fn=src_fn)
+    if config.fused and src_fn is _roll0:
+        # TPU product path: block-bichromatic band kernel (ops/fused_rrs).
+        # VS modes keep the XLA path (fixed-source map, not a roll).
+        out = rt_solve_rrs_fused(inputs, config, shifts, w_shifts,
+                                 Z_r_pp, Z_r_mp, fscatt)
+    else:
+        out = rt_solve_rrs(inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp,
+                           fscatt, src_fn=src_fn)
     return (np.asarray(out["R"]), np.asarray(out["T"]),
             np.asarray(out["ieR"]), np.asarray(out["ieT"]))

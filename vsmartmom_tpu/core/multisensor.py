@@ -195,7 +195,7 @@ def rt_run_ms(model, sensor_levels, i_band: int = 0):
 # the interface coupling gets the bichromatic product rule.
 # ---------------------------------------------------------------------------
 
-from .inelastic import (IEAdded, IEComposite, ie_added_zero, ie_elemental,
+from .inelastic import (IEAdded, IEComposite, ie_elemental,
                         ie_interaction, zero_ie_composite, _roll0,
                         doubling_rs, _comp_dict, _add_dict)
 from .kernels import elemental as _elemental

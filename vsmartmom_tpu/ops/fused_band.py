@@ -47,8 +47,10 @@ from .fused_rt import _doubling_math, _interaction_math, _norm_sched
 
 _I0 = np.int32(0)
 
-# geom table rows
-_RG, _A, _INVD, _SAME, _EYE, _TO, _TS, _DI, _DJ, _SGN = range(10)
+# geom table rows (the last four only materialize for the inelastic
+# block-bichromatic kernel, ops/fused_rrs.py — see _geom_tables(ie=True))
+(_RG, _A, _INVD, _SAME, _EYE, _TO, _TS, _DI, _DJ, _SGN,
+ _MUI, _MUJ, _IMI, _IMJ) = range(14)
 
 
 def _expm1_series(x):
@@ -56,8 +58,14 @@ def _expm1_series(x):
     f32 arithmetic, no dependence on Mosaic's native exp (which is only
     ~30 ulp and, amplified 2^ndoubl by the doubling ladder, breaks parity
     with the XLA path at the 1e-3 level)."""
-    return x * (1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
-        1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0))))))
+    return x * _expm1_ratio_series(x)
+
+
+def _expm1_ratio_series(x):
+    """expm1(x)/x as the same Horner chain (shared with the ie kernel's
+    mixed-depth transmission ratio, which needs the /x form directly)."""
+    return 1.0 + x * (0.5 + x * (1.0 / 6.0 + x * (
+        1.0 / 24.0 + x * (1.0 / 120.0 + x * (1.0 / 720.0)))))
 
 
 def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
@@ -105,12 +113,44 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
     Em1 = Em1_ref[0]                         # (bp, Np)
     dt = dt_ref[0]
+    r_mp, t_pp, _ = _assemble_elemental(Zpp_ref, Zmp_ref, geom_ref,
+                                        wrow_ref[0], Em1, dt)
+
+    r_star = r_mp * geom_ref[_DI][None]
+
+    # ---- doubling ladder + adding (shared algebra with the XLA path) ----
+    # dot_mode "A/B" = ladder mode A, interaction mode B (probe syntax).
+    m_lad, _, m_int = dot_mode.partition("/")
+    m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
+    r, t, jp_v, jm_v = _doubling_math(
+        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched, m_lad,
+        beer_diag=1.0 + Em1)
+    d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
+    r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
+    jm_u = jm_v * d_col
+    r_pm_l = geom_ref[_SGN][None] * r_mp_l
+    t_mm_l = geom_ref[_SGN][None] * t
+
+    out = _interaction_math(
+        Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
+        r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
+    for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
+        ref[:] = val
+
+
+def _assemble_elemental(Zpp_ref, Zmp_ref, geom_ref, wrow, Em1, dt):
+    """In-VMEM elemental operator assembly shared by the elastic band
+    kernel and the block-bichromatic ie kernel (ops/fused_rrs.py).
+
+    wrow (C, bp, Np), Em1/dt (bp, Np). Returns (r_mp, t_pp, one_m_EE);
+    one_m_EE is returned because the ie (2,1)-block elemental reuses it
+    (on concatenated [lambda0; lambda1] row tables it evaluates to exactly
+    1 - E1_i E0_j in that block)."""
     E_j = 1.0 + Em1[:, None, :]
     E_i = 1.0 + Em1[:, :, None]
 
     # wZ = [sum_c (w_c/tau) Z_c]  with per-point scalars as row products —
     # valid on block-diagonal operators (off-blocks are zero in Zbd).
-    wrow = wrow_ref[0]                       # (C, bp, Np)
     wZ_pp = Zpp_ref[0][None] * wrow[0][:, :, None]
     wZ_mp = Zmp_ref[0][None] * wrow[0][:, :, None]
     for c in range(1, wrow.shape[0]):
@@ -135,30 +175,10 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     beer = E_i * geom_ref[_EYE][None]
     same = geom_ref[_SAME][None]
     t_pp = same * (t_same + beer) + (1.0 - same) * t_off
-
-    r_star = r_mp * geom_ref[_DI][None]
-
-    # ---- doubling ladder + adding (shared algebra with the XLA path) ----
-    # dot_mode "A/B" = ladder mode A, interaction mode B (probe syntax).
-    m_lad, _, m_int = dot_mode.partition("/")
-    m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
-    r, t, jp_v, jm_v = _doubling_math(
-        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched, m_lad,
-        beer_diag=1.0 + Em1)
-    d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
-    r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
-    jm_u = jm_v * d_col
-    r_pm_l = geom_ref[_SGN][None] * r_mp_l
-    t_mm_l = geom_ref[_SGN][None] * t
-
-    out = _interaction_math(
-        Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
-        r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
-    for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
-        ref[:] = val
+    return r_mp, t_pp, one_m_EE
 
 
-def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
+def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype, ie=False):
     """Static (10, Np, Np) geometry stack in the packed layout.
 
     Cross-block entries are garbage-safe: every term they feed is masked by
@@ -184,7 +204,55 @@ def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype):
         jnp.broadcast_to(d[None, :], (Np, Np)),    # _DJ
         d[:, None] * d[None, :],                   # _SGN
     ]
+    if ie:
+        # Extra rows for the ie (2,1)-block elemental (ops/fused_rrs.py):
+        # the mixed-depth geometry factors need raw mu_i/mu_j and their
+        # reciprocals per entry (the elastic factors fold them away).
+        tabs += [
+            jnp.broadcast_to(mu_i, (Np, Np)),      # _MUI
+            jnp.broadcast_to(mu_j, (Np, Np)),      # _MUJ
+            jnp.broadcast_to(1.0 / mu_i, (Np, Np)),   # _IMI
+            jnp.broadcast_to(1.0 / mu_j, (Np, Np)),   # _IMJ
+        ]
     return jnp.stack([t.astype(dtype) for t in tabs])
+
+
+def solar_source_vectors(Z_pp_m, Z_mp_m, w_over, F0_m, Em1, Em1_0, att,
+                         dtau, qp_mu_N, in_blk, i_mu0_start, n_stokes,
+                         dtype):
+    """(nz, s, N) solar SFI elemental source vectors, XLA-side
+    (kernels.elemental algebra on the f64-accurate precursors): Z columns
+    at the solar block dotted with F0, attenuation folded in. Shared by
+    fused_moment and the ie kernel prep (which rolls these pointwise
+    vectors to the Raman source wavelength — roll commutes with every
+    per-point product here)."""
+    ns = n_stokes
+    nz, _, s = w_over.shape
+    sl0 = i_mu0_start
+    Zp_blk = Z_pp_m[:, :, sl0:sl0 + ns]                     # (C, N, ns)
+    Zm_blk = Z_mp_m[:, :, sl0:sl0 + ns]
+    # precision="highest": TPU einsum defaults to bf16 multiply passes
+    # (measured 2.7e-3 rel err, scripts/probe_mosaic_dot_prec.py) — enough
+    # to fail the 1e-4 fused-vs-plain parity gate through the sources.
+    Zp_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zp_blk,
+                       precision="highest")
+    Zm_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zm_blk,
+                       precision="highest")
+
+    from ..core.kernels import _expm1
+    mu0 = qp_mu_N[sl0]
+    E = 1.0 + Em1                                           # (nz, s, N)
+    E_0 = (1.0 + Em1_0)[:, :, None]
+    dt3 = dtau[:, :, None]
+    jp_in = Zp_I0 * (dt3 / qp_mu_N[None, None, :]) * E
+    delta_s = jnp.where(in_blk > 0.5, 1.0, qp_mu_N - mu0)[None, None, :]
+    jp_out = Zp_I0 * (mu0 / delta_s) * E_0 * \
+        _expm1(dt3 * delta_s / (qp_mu_N[None, None, :] * mu0)).astype(dtype)
+    j_sol_p = jnp.where(in_blk[None, None, :] > 0.5, jp_in, jp_out)
+    one_m_EE0 = -(Em1 + Em1_0[:, :, None] + Em1 * Em1_0[:, :, None])
+    j_sol_m = Zm_I0 * (mu0 / (qp_mu_N[None, None, :] + mu0)) * one_m_EE0
+    att3 = att[:, :, None]
+    return j_sol_p * att3, j_sol_m * att3
 
 
 def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
@@ -225,34 +293,9 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     dtp = jnp.broadcast_to(dtau[:, :, None], (nz, s, N)) \
         .reshape(nz, bp_tot, Np)
 
-    # Solar source vectors (kernels.elemental SFI algebra, f64-accurate
-    # precursors): Z columns at the solar block dotted with F0.
-    sl0 = i_mu0_start
-    Zp_blk = Z_pp_m[:, :, sl0:sl0 + ns]                     # (C, N, ns)
-    Zm_blk = Z_mp_m[:, :, sl0:sl0 + ns]
-    # precision="highest": TPU einsum defaults to bf16 multiply passes
-    # (measured 2.7e-3 rel err, scripts/probe_mosaic_dot_prec.py) — enough
-    # to fail the 1e-4 fused-vs-plain parity gate through the sources.
-    Zp_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zp_blk,
-                       precision="highest")
-    Zm_I0 = jnp.einsum("zcs,ks,cnk->zsn", w_over, F0_m, Zm_blk,
-                       precision="highest")
-
-    from ..core.kernels import _expm1
-    mu0 = qp_mu_N[sl0]
-    E = 1.0 + Em1                                           # (nz, s, N)
-    E_0 = (1.0 + Em1_0)[:, :, None]
-    dt3 = dtau[:, :, None]
-    jp_in = Zp_I0 * (dt3 / qp_mu_N[None, None, :]) * E
-    delta_s = jnp.where(in_blk > 0.5, 1.0, qp_mu_N - mu0)[None, None, :]
-    jp_out = Zp_I0 * (mu0 / delta_s) * E_0 * \
-        _expm1(dt3 * delta_s / (qp_mu_N[None, None, :] * mu0)).astype(dtype)
-    j_sol_p = jnp.where(in_blk[None, None, :] > 0.5, jp_in, jp_out)
-    one_m_EE0 = -(Em1 + Em1_0[:, :, None] + Em1 * Em1_0[:, :, None])
-    j_sol_m = Zm_I0 * (mu0 / (qp_mu_N[None, None, :] + mu0)) * one_m_EE0
-    att3 = att[:, :, None]
-    j_sol_p = j_sol_p * att3
-    j_sol_m = j_sol_m * att3
+    j_sol_p, j_sol_m = solar_source_vectors(
+        Z_pp_m, Z_mp_m, w_over, F0_m, Em1, Em1_0, att, dtau, qp_mu_N,
+        in_blk, i_mu0_start, ns, dtype)
 
     ek3 = jnp.broadcast_to(ek_sol[:, :, None], (nz, s, N))
     if K == 1:

@@ -222,16 +222,6 @@ def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
 
 def _doubling_math(r, t, jp, jm, ek_rows, ns_sched, mode: str = "highest",
                    beer_diag=None):
-    if mode == "split3d" and r.dtype != jnp.float32:
-        mode = "highest"        # bf16 splitting is an f32 construction
-    if mode == "split3d":
-        if beer_diag is None:
-            # Callers without the analytic Beer diagonal (per-layer kernel
-            # path) get the parity-equivalent exact-t-chain mix instead.
-            mode = "mixY"
-        else:
-            return _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched,
-                                          beer_diag)
     """The doubling ladder on starred operators — shared by the Pallas
     kernel body and the XLA fallback so both paths are the same algebra.
 
@@ -244,6 +234,16 @@ def _doubling_math(r, t, jp, jm, ek_rows, ns_sched, mode: str = "highest",
     pass, so r @ [t | jp | jm_e] and tt_gp @ [t | r t | ...] do the same
     work in ~half the tile passes.
     """
+    if mode == "split3d" and r.dtype != jnp.float32:
+        mode = "highest"        # bf16 splitting is an f32 construction
+    if mode == "split3d":
+        if beer_diag is None:
+            # Callers without the analytic Beer diagonal (per-layer kernel
+            # path) get the parity-equivalent exact-t-chain mix instead.
+            mode = "mixY"
+        else:
+            return _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched,
+                                          beer_diag)
     N = r.shape[-1]
     K = jp.shape[-1]
 
@@ -309,13 +309,13 @@ def _interaction_math_split3(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
 def _interaction_math(R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
                       r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters: int,
                       mode: str = "highest"):
+    """Adding step (Sanghavi 2014 Eqs. 23-28) with a single Newton-Schulz
+    inverse: the second geometric factor comes from the push-through
+    identity (I - R+- r-+)^-1 = I + R+- (I - r-+ R+-)^-1 r-+."""
     if mode == "split3" and R_mp.dtype == jnp.float32:
         return _interaction_math_split3(
             R_mp, R_pm, T_pp, T_mm, J0_p, J0_m,
             r_mp, r_pm, t_pp, t_mm, j0_p, j0_m, ns_iters)
-    """Adding step (Sanghavi 2014 Eqs. 23-28) with a single Newton-Schulz
-    inverse: the second geometric factor comes from the push-through
-    identity (I - R+- r-+)^-1 = I + R+- (I - r-+ R+-)^-1 r-+."""
     N = R_mp.shape[-1]
     K = J0_p.shape[-1]
     inv1 = _ns_inverse(_bmm(r_mp, R_pm, mode), ns_iters, mode)

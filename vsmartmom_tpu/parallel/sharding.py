@@ -6,8 +6,10 @@ spectral points are embarrassingly parallel through the whole layer-adding
 chain, so the production strategy is a 1-D mesh over a ``spectral`` axis
 with batch-sharded operators. XLA compiles the solve with zero collectives
 in the hot loop; only output gathers (tiny (nVZA, nStokes, nSpec) arrays)
-touch the interconnect. Raman redistribution (cross-wavelength gathers)
-will add a bounded halo exchange when it lands.
+touch the interconnect. The one cross-shard coupling is Raman
+redistribution: its spectral rolls compile to a bounded-halo collective
+permute on a sharded axis (tests/test_sharding.py proves the sharded RRS
+solve matches the unsharded result through that collective).
 """
 
 import jax
