@@ -72,6 +72,45 @@ def flops_per_point(config):
     return n_full * config.nz * per_layer
 
 
+def _bench_secondary():
+    """The two non-headline BASELINE configs (VERDICT r4 item 4): the
+    linearized Jacobian stack and the RRS+SIF hyperspectral run, reusing
+    the scripts/ benches. Failures are reported per-config, never fatal —
+    the headline entry must survive."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    out = {}
+    try:
+        import bench_lin
+        r = bench_lin.main(n_spec=1024)
+        out["linearized"] = {
+            "value": round(r["tangent_pts_per_s"], 1),
+            "unit": "tangent-points/s",
+            "detail": {k: round(v, 2) if isinstance(v, float) else v
+                       for k, v in r.items()}}
+    except Exception as e:                     # noqa: BLE001
+        out["linearized"] = {"error": str(e)[-200:]}
+    try:
+        import bench_rrs
+        # 256 points = the BASELINE config measured since round 4 (58
+        # active Raman shifts; wider bands activate proportionally more
+        # shifts and are not comparable per-point).
+        r = bench_rrs.main(n_spec=256, reps=3)
+        out["rrs_sif"] = {
+            "value": round(r["pts_per_s"], 1),
+            "unit": "points/s",
+            "parity_vs_xla": {k: round(v, 8)
+                              for k, v in r["parity"].items()},
+            "detail": {"ms_per_solve": round(r["ms"], 1),
+                       "n_spec": r["n_spec"], "n_shifts": r["n_shifts"],
+                       "fused": r["fused"]}}
+    except Exception as e:                     # noqa: BLE001
+        out["rrs_sif"] = {"error": str(e)[-200:]}
+    return out
+
+
 def main():
     import os
 
@@ -164,6 +203,10 @@ def main():
         return
 
     baseline_pts_per_s = 750.0   # A100 reference datapoint (docstring)
+    configs = {"forward": {"value": round(pts_per_s, 1),
+                           "unit": "points/s"}}
+    if not os.environ.get("VSM_BENCH_FORWARD_ONLY"):
+        configs.update(_bench_secondary())
     print(json.dumps({
         "metric": "spectral_points_per_s_per_chip",
         "value": round(pts_per_s, 1),
@@ -174,6 +217,7 @@ def main():
                    "est_tflop_per_solve": round(fl / 1e12, 2),
                    "implied_tflops": round(tflops, 2),
                    "mfu_vs_peak": round(tflops / peak, 4)},
+        "configs": configs,
     }))
 
 

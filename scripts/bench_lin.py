@@ -62,6 +62,9 @@ def main(n_spec=1024):
     print(f"linearized solve ({layout.n_total} tangents): {dt*1e3:.1f} ms "
           f"-> {n_spec/dt:.0f} pts/s ({n_spec*layout.n_total/dt:.0f} "
           f"tangent-pts/s)", flush=True)
+    return {"pts_per_s": n_spec / dt,
+            "tangent_pts_per_s": n_spec * layout.n_total / dt,
+            "ms": dt * 1e3, "n_spec": n_spec, "n_params": layout.n_total}
 
 
 if __name__ == "__main__":

@@ -36,23 +36,59 @@ def _model(n_spec):
     return model
 
 
-def main(n_spec=1024, reps=5):
+def main(n_spec=1024, reps=5, force_xla=False, parity=True):
+    from vsmartmom_tpu.core.inelastic import rt_solve_rrs_fused
     model = _model(n_spec)
     (inputs, config, shifts, w_shifts, Z_r_pp, Z_r_mp, fscatt,
      src_fn) = inelastic_setup(model)
+    fused = bool(config.fused) and not force_xla
     print(f"nSpec={n_spec}, nShifts={len(shifts)}, "
-          f"n_m={config.m_max + 1}, nz={config.nz}, N={config.N}",
+          f"n_m={config.m_max + 1}, nz={config.nz}, N={config.N}, "
+          f"fused={fused} pack={config.pack} dot={config.dot_mode}",
           flush=True)
 
-    fn = jax.jit(lambda i: rt_solve_rrs(i, config, shifts, w_shifts,
-                                        Z_r_pp, Z_r_mp, fscatt,
-                                        src_fn=src_fn))
+    if fused:
+        fn = jax.jit(lambda i: rt_solve_rrs_fused(i, config, shifts,
+                                                  w_shifts, Z_r_pp, Z_r_mp,
+                                                  fscatt))
+    else:
+        fn = jax.jit(lambda i: rt_solve_rrs(i, config, shifts, w_shifts,
+                                            Z_r_pp, Z_r_mp, fscatt,
+                                            src_fn=src_fn))
     t0 = time.perf_counter()
     out = fn(inputs)
     _ = np.asarray(out["ieR"])
     print(f"cold compile+run {time.perf_counter()-t0:.0f}s", flush=True)
     assert np.isfinite(np.asarray(out["R"])).all()
     assert np.isfinite(np.asarray(out["ieR"])).all()
+
+    rels = {}
+    if fused and parity:
+        # On-device parity gate vs the XLA reference-shaped path. The XLA
+        # path's (nR, s, N, N) arrays pad ~4x in HBM (lane padding), so
+        # the gate runs at a bounded width — same physics, same kernels.
+        if n_spec <= 512:
+            p_inputs, p_cfg, p_out = inputs, config, out
+            p_shifts, p_w, p_fsc, p_src = shifts, w_shifts, fscatt, src_fn
+        else:
+            p_model = _model(256)
+            (p_inputs, p_cfg, p_shifts, p_w, Zp, Zm, p_fsc,
+             p_src) = inelastic_setup(p_model)
+            p_out = rt_solve_rrs_fused(p_inputs, p_cfg, p_shifts, p_w,
+                                       Zp, Zm, p_fsc)
+            Z_r_pp_p, Z_r_mp_p = Zp, Zm
+        if n_spec <= 512:
+            Z_r_pp_p, Z_r_mp_p = Z_r_pp, Z_r_mp
+        ref = rt_solve_rrs(p_inputs, p_cfg, p_shifts, p_w, Z_r_pp_p,
+                           Z_r_mp_p, p_fsc, src_fn=p_src)
+        for k in ("R", "ieR"):
+            a, b = np.asarray(p_out[k]), np.asarray(ref[k])
+            rels[k] = float(np.max(np.abs(a - b))
+                            / (np.max(np.abs(b)) + 1e-30))
+        print(f"parity vs XLA path: R {rels['R']:.2e}, "
+              f"ieR {rels['ieR']:.2e}", flush=True)
+        assert rels["R"] < 1e-4 and rels["ieR"] < 5e-3, rels
+        del p_out, ref
 
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -61,6 +97,8 @@ def main(n_spec=1024, reps=5):
     dt = (time.perf_counter() - t0) / reps
     print(f"RRS+SIF solve: {dt*1e3:.1f} ms -> {n_spec/dt:.0f} pts/s "
           f"({n_spec * len(shifts) / dt:.2e} shift-pts/s)", flush=True)
+    return {"pts_per_s": n_spec / dt, "ms": dt * 1e3, "parity": rels,
+            "n_spec": n_spec, "n_shifts": len(shifts), "fused": fused}
 
 
 if __name__ == "__main__":

@@ -197,3 +197,184 @@ class TestCanopyYaml:
         assert canopy.soil.kind == "LambertianSurfaceScalar"
         R, *_ = rt_run(model_from_parameters(params))
         assert np.all(np.isfinite(R)) and np.all(R > 0)
+
+
+class TestLeafAngleDistributions:
+    """Non-spherical LADs (reference CanopyOptics G/Gamma numerics,
+    re-derived — see surfaces/canopy.py module docstring)."""
+
+    def test_G_direction_average_is_half(self):
+        """For ANY normalized LAD, int_0^1 G(mu) dmu = 1/2 (the average
+        projection of a flat plate over all directions)."""
+        from vsmartmom_tpu.surfaces.canopy import LAD_FAMILIES, project_G
+        x, w = np.polynomial.legendre.leggauss(64)
+        mu = 0.5 * (x + 1.0)
+        for lad in LAD_FAMILIES:
+            G = project_G(mu, lad)
+            assert np.sum(0.5 * w * G) == pytest.approx(0.5, abs=2e-3), lad
+
+    def test_G_orderings(self):
+        """Horizontal leaves project most at nadir; vertical at grazing."""
+        from vsmartmom_tpu.surfaces.canopy import project_G
+        g1 = {lad: project_G(np.array([1.0]), lad)[0]
+              for lad in ("planophile", "spherical", "erectophile")}
+        assert g1["planophile"] > g1["spherical"] > g1["erectophile"]
+        g0 = {lad: project_G(np.array([0.05]), lad)[0]
+              for lad in ("planophile", "spherical", "erectophile")}
+        assert g0["erectophile"] > g0["planophile"]
+
+    def test_spherical_numerical_Z_matches_greek(self):
+        """The numerical Gamma -> Z projection reproduces the analytic
+        Greek/Legendre pipeline in the spherical limit (pins both the
+        Gamma normalization 4/(w_L G) and the (2 - delta_m0) Fourier
+        convention)."""
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+        from vsmartmom_tpu.surfaces.canopy import lad_phase_fourier
+        rho, tau = 0.35, 0.15
+        qp = np.array([0.18, 0.45, 0.72, 0.95])
+        Zpp_n, Zmp_n = lad_phase_fourier("spherical", rho, tau, qp, 3,
+                                         n_tl=64, n_pl=128, n_dphi=128)
+        gk = bilambertian_greek(rho, tau, 16)
+        for m in range(3):
+            Zpp_g, Zmp_g = compute_Z_moments(STOKES_I, qp, gk, m)
+            np.testing.assert_allclose(Zpp_n[m], Zpp_g, atol=3e-4)
+            np.testing.assert_allclose(Zmp_n[m], Zmp_g, atol=3e-4)
+
+    def test_nonspherical_scene_runs_and_differs(self):
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [0.05])
+        kw = dict(soil=soil, LAI=3.0, leaf_reflectance=0.45,
+                  leaf_transmittance=0.45)
+        R_sph, *_ = rt_run(_run(_canopy_desc(lad="spherical", **kw)))
+        R_pla, *_ = rt_run(_run(_canopy_desc(lad="planophile", **kw)))
+        R_ere, *_ = rt_run(_run(_canopy_desc(lad="erectophile", **kw)))
+        for R in (R_pla, R_ere):
+            assert np.all(np.isfinite(R)) and np.all(R > 0)
+        # planophile (horizontal leaves) intercepts/returns more near-nadir
+        # sunlight than erectophile for the same LAI
+        assert R_pla[0, 0, 0] > R_ere[0, 0, 0]
+        assert abs(R_pla[0, 0, 0] - R_sph[0, 0, 0]) > 1e-4
+
+    def test_nonspherical_energy_conservation(self):
+        """Conservative leaves + unit soil stay conservative through the
+        directional elemental (bhr_uw == bhr_dw)."""
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [1.0])
+        model = _run(_canopy_desc(soil=soil, LAI=2.0, lad="planophile",
+                                  leaf_reflectance=0.5,
+                                  leaf_transmittance=0.5))
+        out = rt_run_full(model)
+        np.testing.assert_allclose(out["bhr_uw"], out["bhr_dw"], rtol=5e-3)
+
+    def test_directional_elemental_spherical_limit(self):
+        """_elemental_directional with G = 1/2 reproduces kernels.elemental
+        exactly (same slab, same sources)."""
+        import jax.numpy as jnp
+        from vsmartmom_tpu.core.kernels import elemental
+        from vsmartmom_tpu.surfaces.canopy import _elemental_directional
+        qp = np.array([0.2, 0.5, 0.5000000001, 0.9])
+        wt = np.array([0.3, 0.4, 0.0, 0.3])
+        G_N = np.full(4, 0.5)
+        mu0 = qp[1]
+        L = 0.8
+        rng = np.random.default_rng(0)
+        wZ = rng.uniform(0.1, 1.0, (2, 4, 4))
+        F0 = np.zeros((1, 2))
+        F0[0, :] = 1.0
+        r_d, t_d, jp_d, jm_d = _elemental_directional(
+            wZ, wZ[::-1], L, np.ones(2), qp, wt, G_N, mu0, 0.5, 1, 1,
+            F0, 0.25)
+        r_e, t_e, jp_e, jm_e = elemental(
+            jnp.asarray(wZ), jnp.asarray(wZ[::-1]),
+            jnp.full(2, 0.5 * L), jnp.zeros(2), jnp.asarray(qp),
+            jnp.asarray(wt), mu0, 1, 1, jnp.asarray(F0), 0.25)
+        np.testing.assert_allclose(r_d, np.asarray(r_e), rtol=1e-10)
+        np.testing.assert_allclose(t_d, np.asarray(t_e), rtol=1e-9)
+        np.testing.assert_allclose(jp_d, np.asarray(jp_e), rtol=1e-8)
+        np.testing.assert_allclose(jm_d, np.asarray(jm_e), rtol=1e-10)
+
+
+class TestCanopyHeterogeneity:
+    def test_lai_fractions_homogeneous_invariance(self):
+        """A homogeneous canopy is insensitive to how its LAI is split
+        across sublayers — uneven lai_fractions must match the uniform
+        split."""
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [0.10])
+        kw = dict(soil=soil, LAI=3.0, leaf_reflectance=0.4,
+                  leaf_transmittance=0.05)
+        R_u, *_ = rt_run(_run(_canopy_desc(n_layers=4, **kw)))
+        R_f, *_ = rt_run(_run(_canopy_desc(
+            n_layers=4, lai_fractions=(0.4, 0.3, 0.2, 0.1), **kw)))
+        # tolerance: the O(dtau_max) elemental-composition error differs
+        # slightly between sublayer splits (canopy.py dtau_max note)
+        np.testing.assert_allclose(R_f, R_u, rtol=1e-4)
+
+    def test_lai_fractions_sum_preserved(self):
+        """fractions summing to 1 reproduce the single-layer canopy."""
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [0.10])
+        kw = dict(soil=soil, LAI=2.0, leaf_reflectance=0.3,
+                  leaf_transmittance=0.1)
+        R_1, *_ = rt_run(_run(_canopy_desc(n_layers=1, **kw)))
+        R_3, *_ = rt_run(_run(_canopy_desc(
+            n_layers=3, lai_fractions=(0.5, 0.3, 0.2), **kw)))
+        np.testing.assert_allclose(R_3, R_1, rtol=1e-4)
+
+
+class TestWithinCanopyAtmosphere:
+    def _arrays(self, atm_tau, n_layers=3):
+        from vsmartmom_tpu.scattering.stokes import STOKES_I
+        from vsmartmom_tpu.surfaces.canopy import (CanopySurface,
+                                                   canopy_surface_arrays)
+        from vsmartmom_tpu.utils.quadrature import rt_set_streams
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [0.3])
+        canopy = CanopySurface(soil=soil, LAI=2.0, n_layers=n_layers,
+                               leaf_reflectance=0.4,
+                               leaf_transmittance=0.05,
+                               include_atm=True, canopy_dp=50.0)
+        pol = STOKES_I
+        quad = rt_set_streams(6, 30.0, [0.0, 30.0], 1)
+        nu = np.array([13000.0, 13001.0, 13002.0])
+        from vsmartmom_tpu.surfaces.lambertian import \
+            lambertian_surface_arrays
+        soil_r, soil_j = lambertian_surface_arrays(quad, 1, 3)
+        return canopy_surface_arrays(canopy, quad, pol, 3, nu,
+                                     0.3 * soil_r, 0.3 * soil_j,
+                                     np.ones(3), atm_tau=atm_tau)
+
+    def test_zero_atm_tau_matches_no_atm(self):
+        n0, R0, J0 = self._arrays(None)
+        nz, Rz, Jz = self._arrays(np.zeros(3))
+        np.testing.assert_allclose(Rz[:, 0], R0[:, 0], rtol=1e-10)
+        np.testing.assert_allclose(Jz[:, 0], J0[:, 0], rtol=1e-10)
+
+    def test_absorption_darkens_and_is_spectral(self):
+        """Within-canopy gas absorption removes upwelling signal, more at
+        the more-absorbing spectral points, and the operators come back on
+        the full grid."""
+        atm = np.array([0.0, 0.5, 2.0])
+        nodes, R, J = self._arrays(atm)
+        assert len(nodes) == 3            # full-grid build
+        _, R0, J0 = self._arrays(np.zeros(3))   # coarse build, 1 node
+        # soil-reflected source weakens with absorption strength
+        j_tot = J.sum(axis=(2, 3))        # (n_m, n_nodes)
+        assert j_tot[0, 0] > j_tot[0, 1] > j_tot[0, 2]
+        # the transparent point matches the no-absorption build
+        np.testing.assert_allclose(J[:, 0], J0[:, 0], rtol=1e-10)
+        np.testing.assert_allclose(R[:, 0], R0[:, 0], rtol=1e-10)
+
+    def test_model_level_plumbing(self):
+        """include_atm + canopy_dp at the model level routes bottom-layer
+        absorption into the canopy build (reference
+        _compute_canopy_atm_tau! vcd scaling)."""
+        soil = SurfaceDescriptor("LambertianSurfaceScalar", [0.3])
+        desc = _canopy_desc(soil=soil, LAI=2.0, n_layers=3,
+                            leaf_reflectance=0.4, leaf_transmittance=0.05,
+                            include_atm=True, canopy_dp=80.0)
+        model = _run(desc, n_spec=3)
+        band = model.bands[0]
+        R_noabs, *_ = rt_run(model)
+        band.tau_abs = np.zeros_like(band.tau_abs)
+        band.tau_abs[:, -1] = np.array([0.0, 0.3, 1.5])
+        R_abs, *_ = rt_run(model)
+        # absorbing points darken relative to the transparent point
+        ratio = R_abs[0, 0] / R_noabs[0, 0]
+        assert ratio[0] == pytest.approx(1.0, abs=1e-6)
+        assert ratio[1] < 1.0 and ratio[2] < ratio[1]

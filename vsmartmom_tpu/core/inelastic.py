@@ -597,6 +597,23 @@ def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
     Em10_pre = _expm1(-dtau_z / mu0)
     att_pre = _exp(-tau_sum[:nz] / mu0)
     ek_pre = _exp(-dtau_z / mu0)
+
+    # ie ladder at its own (coarser) resolution — see
+    # ops/fused_rrs.ie_ladder_resolution. VSM_IE_FULLRES=1 forces the
+    # elastic resolution (parity probing).
+    from ..ops.fused_rrs import ie_ladder_resolution
+    if os.environ.get("VSM_IE_FULLRES"):
+        ie_nd, ie_sched = config.ndoubl, (config.ns_sched or None)
+    else:
+        ie_nd, ie_sched = ie_ladder_resolution(config.ndoubl,
+                                               config.ns_sched or None)
+    if ie_nd != config.ndoubl:
+        dtau_ie = tau / (2.0 ** ie_nd)
+        Em1_ie = _expm1(-dtau_ie[:, :, None] / qp_mu_N[None, None, :])
+        Em10_ie = _expm1(-dtau_ie / mu0)
+        ek_ie = _exp(-dtau_ie / mu0)
+    else:
+        Em1_ie, Em10_ie, ek_ie = Em1_pre, Em10_pre, ek_pre
     idx = jnp.arange(N)
     is_I_vec = ((idx % ns) == 0).astype(dtype)
     in_blk_vec = (((idx >= config.i_mu0_start)
@@ -608,6 +625,17 @@ def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
         [[v * ns + k for k in range(ns)] for v in config.vza_idx])
     n_m = config.m_max + 1
     fourier_w_all = jnp.asarray([0.5] + [0.25] * (n_m - 1), dtype)
+
+    # Shift chunking: at nR * nSpec pairs the block composites are
+    # 4 x (nR s, 2N, 2N) — process the (independent) shifts in equal-size
+    # chunks so HBM stays bounded at any band width. Equal sizes keep one
+    # kernel compile; the pad chunk uses shift 0 with weight 0 (a
+    # contributes-nothing pair).
+    n_rc = max(1, min(n_r, 32768 // max(n_spec, 1)))
+    n_chunks = -(-n_r // n_rc)
+    shifts_pad = tuple(shifts) + (0,) * (n_chunks * n_rc - n_r)
+    w_pad = jnp.concatenate(
+        [w_shifts, jnp.zeros(n_chunks * n_rc - n_r, dtype)])
 
     from ..ops.fused_band import fused_moment
     from ..ops.fused_rrs import fused_moment_rrs
@@ -630,27 +658,33 @@ def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
         comp = _CompositeLayer(*(unpack_mat(a, p) for a in comp_p[:4]),
                                *(unpack_vec(a, p) for a in comp_p[4:]))
 
-        comp_ie = IEComposite(*fused_moment_rrs(
-            Z_pp_m, Z_mp_m, Z_r_pp_m, Z_r_mp_m, tau, scat_w, Em1_pre,
-            Em10_pre, att_pre, ek_pre, fscatt, shifts, w_shifts, F0 * fw,
-            qp_mu_N, fw * wt_mu_N, d_vec, in_blk_vec,
-            ndoubl=config.ndoubl, ns_sched=config.ns_sched or None,
-            ns_inter=config.ns_inter, n_stokes=ns,
-            i_mu0_start=config.i_mu0_start, block=config.band_block,
-            dot_mode=config.dot_mode))
-
         sif0 = inputs.sif_spec.astype(dtype)
         surf = _surface_layer(surf_r_m, surf_j_m, direct_m, surf_spec, F0,
                               tau_sum[nz], mu0, sif0, is_m0, config, dtype)
-        add_ie0 = ie_added_zero(n_r, n_spec, N, dtype)
-        comp_ie = ie_interaction(_comp_dict(comp), _add_dict(surf),
-                                 comp_ie, add_ie0, shifts, _roll0)
-        comp = _interaction(comp, surf)
 
+        ieJm_tot = jnp.zeros((n_spec, N), dtype)
+        ieJp_tot = jnp.zeros((n_spec, N), dtype)
+        add_ie0 = ie_added_zero(n_rc, n_spec, N, dtype)
+        comp_d, surf_d = _comp_dict(comp), _add_dict(surf)
+        for c in range(n_chunks):
+            sh_c = shifts_pad[c * n_rc:(c + 1) * n_rc]
+            w_c = jax.lax.dynamic_slice_in_dim(w_pad, c * n_rc, n_rc)
+            comp_ie = IEComposite(*fused_moment_rrs(
+                Z_pp_m, Z_mp_m, Z_r_pp_m, Z_r_mp_m, tau, scat_w, Em1_ie,
+                Em10_ie, att_pre, ek_ie, fscatt, sh_c, w_c, F0 * fw,
+                qp_mu_N, fw * wt_mu_N, d_vec, in_blk_vec,
+                ndoubl=ie_nd, ns_sched=ie_sched,
+                ns_inter=config.ns_inter, n_stokes=ns,
+                i_mu0_start=config.i_mu0_start, block=config.band_block,
+                dot_mode=config.dot_mode))
+            comp_ie = ie_interaction(comp_d, surf_d, comp_ie, add_ie0,
+                                     sh_c, _roll0)
+            ieJm_tot = ieJm_tot + comp_ie.ieJm.sum(axis=0)
+            ieJp_tot = ieJp_tot + comp_ie.ieJp.sum(axis=0)
+
+        comp = _interaction(comp, surf)
         J0_m = comp.J0_m[..., 0]
         J0_p = comp.J0_p[..., 0]
-        ieJm_tot = comp_ie.ieJm.sum(axis=0)
-        ieJp_tot = comp_ie.ieJp.sum(axis=0)
 
         w3 = vza_w_m[:, :, None]
         R = R + jnp.transpose(J0_m[:, vza_rows], (1, 2, 0)) * w3

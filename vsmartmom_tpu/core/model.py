@@ -194,7 +194,7 @@ def _surface_m_support(surface: SurfaceDescriptor, stream_l_cap: int) -> int:
 
 def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
                     n_stokes: int, n_m: int, n_spec: int,
-                    pol=None, nu_grid=None):
+                    pol=None, nu_grid=None, atm_tau=None):
     """Build (surf_r, surf_j_m, surf_spec, surf_direct_m).
 
     surf_r[m] is the reflection supermatrix (incl. the m=0 factor 2 and the
@@ -280,7 +280,8 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
         if nu_grid is None:
             nu_grid = np.linspace(0.0, 1.0, n_spec)
         nodes, R_eff, J_eff = canopy_surface_arrays(
-            canopy, quad, pol, n_m, nu_grid, soil_r, soil_j, soil_spec)
+            canopy, quad, pol, n_m, nu_grid, soil_r, soil_j, soil_spec,
+            atm_tau=atm_tau)
         # Direct-beam j0+ slot: canopy-TOP bookkeeping — the composite
         # canopy+soil operators (R_eff/J_eff) act at the canopy top, so BOA
         # outputs (T, bhr_dw) are the fields at canopy top and the direct
@@ -296,6 +297,36 @@ def _surface_arrays(surface: SurfaceDescriptor, quad: QuadPoints,
         return R, J, np.ones(n_spec), soil_direct
 
     raise NotImplementedError(f"Surface type {kind} not yet implemented")
+
+
+def _canopy_atm_tau(band, profile):
+    """Within-canopy gas absorption spectrum for CanopySurface scenes with
+    ``include_atm`` + ``canopy_dp`` (reference canopy_surface.jl
+    _compute_canopy_atm_tau!): the bottom-layer tau_abs scaled by the
+    canopy air column vcd = N_A dp / (M g 100^2) * 100 over the bottom
+    layer's dry column. Returns (nSpec,) or None."""
+    surf = band.surface
+    if surf.kind != "CanopySurface":
+        return None
+    canopy = surf.kwargs.get("_surface_obj")
+    if canopy is not None:
+        include, dp = canopy.include_atm, canopy.canopy_dp
+    else:
+        include = surf.kwargs.get("include_atm", False)
+        dp = surf.kwargs.get("canopy_dp")
+    if not include or dp is None:
+        return None
+    iz = profile.nz - 1
+    N_A, g0 = 6.0221408e23, 9.8067
+    dry_mass, wet_mass = 0.028964, 0.018015
+    vmr_h2o = float(np.atleast_1d(profile.vmr_h2o)[iz]) \
+        if profile.vmr_h2o is not None else 0.0
+    M = (1.0 - vmr_h2o) * dry_mass + vmr_h2o * wet_mass
+    vcd_canopy = N_A * float(dp) / (M * g0 * 100.0 ** 2) * 100.0
+    vcd_bot = float(np.atleast_1d(profile.vcd_dry)[iz])
+    if vcd_bot <= 0:
+        return None
+    return np.asarray(band.tau_abs)[:, iz] * (vcd_canopy / vcd_bot)
 
 
 class RTModel:
@@ -369,7 +400,8 @@ class RTModel:
         N = quad.Nquad * ns
         surf_r, surf_j, surf_spec, surf_direct_m = _surface_arrays(
             band.surface, quad, ns, n_m, n_spec, pol=pol,
-            nu_grid=band.nu_grid)
+            nu_grid=band.nu_grid,
+            atm_tau=_canopy_atm_tau(band, self.profile))
 
         # Phase supermatrices per Fourier moment per scattering component.
         # For RRS runs the elastic path switches Rayleigh -> Cabannes Greek

@@ -252,7 +252,13 @@ def parameters_from_dict(d: dict) -> Parameters:
                 leaf_optics_grid=None if lg is None else np.asarray(
                     lg, dtype=np.float64),
                 grid_unit=str(c.get("grid_unit", "nm")),
-                clumping_omega=float(clump))
+                clumping_omega=float(clump),
+                lad=str(c.get("LAD", c.get("lad", "spherical"))).lower(),
+                lai_fractions=None if c.get("lai_fractions") is None
+                else tuple(float(f) for f in c["lai_fractions"]),
+                include_atm=bool(c.get("include_atm", False)),
+                canopy_dp=None if c.get("canopy_dp") is None
+                else float(c["canopy_dp"]))
             wrapped.append(SurfaceDescriptor(
                 "CanopySurface", [], {"_surface_obj": canopy}))
         surfaces = wrapped

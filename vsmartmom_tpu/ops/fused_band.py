@@ -71,7 +71,7 @@ def _expm1_ratio_series(x):
 def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
                    dt_ref, jp_ref, jms_ref, ekr_ref,
                    Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o,
-                   *, nz, ns_sched, ns_inter, dot_mode):
+                   *, nz, ns_sched, ns_inter, dot_mode, k1=False):
     """One (spectral-block, layer) grid step; all shapes packed.
 
     Refs (bp = packed block, Np = pack*N, C = components, K = sources):
@@ -100,15 +100,27 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     bp, Np = Em1_ref.shape[1], Em1_ref.shape[2]
     first = zflag_ref[0, 0, 0] > 0.5
 
+    # K == 1 layout (k1): source tables and outputs travel through HBM
+    # WITHOUT the trailing K axis — a trailing dim of 1 lands in the lane
+    # position of the (8, 128) tile and pads the buffer 128x (measured:
+    # a (nz, bp, Np, 1) table of 387 MB allocated 49.5 GB). The K axis is
+    # re-expanded here (2D->3D expands into tiled dims are supported
+    # Mosaic casts — scripts/probe_mosaic_casts.py).
+    def _kx(x):
+        return x[..., None] if k1 else x
+    jp_in = _kx(jp_ref[0])
+    jms_in = _kx(jms_ref[0])
+    ekr_in = _kx(ekr_ref[0])
+
     eye = geom_ref[_EYE][None]
     zero_m = jnp.zeros((bp, Np, Np), dtype)
-    zero_v = jnp.zeros(Jp_o.shape, dtype)
+    zero_v = jnp.zeros(jp_in.shape, dtype)
     Rmp_c = jnp.where(first, zero_m, Rmp_o[:])
     Rpm_c = jnp.where(first, zero_m, Rpm_o[:])
     Tpp_c = jnp.where(first, eye + zero_m, Tpp_o[:])
     Tmm_c = jnp.where(first, eye + zero_m, Tmm_o[:])
-    Jp_c = jnp.where(first, zero_v, Jp_o[:])
-    Jm_c = jnp.where(first, zero_v, Jm_o[:])
+    Jp_c = jnp.where(first, zero_v, _kx(Jp_o[:]))
+    Jm_c = jnp.where(first, zero_v, _kx(Jm_o[:]))
 
     # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
     Em1 = Em1_ref[0]                         # (bp, Np)
@@ -123,7 +135,7 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     m_lad, _, m_int = dot_mode.partition("/")
     m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
     r, t, jp_v, jm_v = _doubling_math(
-        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched, m_lad,
+        r_star, t_pp, jp_in, jms_in, ekr_in, ns_sched, m_lad,
         beer_diag=1.0 + Em1)
     d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
     r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
@@ -134,6 +146,8 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     out = _interaction_math(
         Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
         r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
+    if k1:
+        out = out[:4] + (out[4][..., 0], out[5][..., 0])
     for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
         ref[:] = val
 
@@ -311,6 +325,12 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     j0_p = j0_p.reshape(nz, bp_tot, Np, K).astype(dtype)
     jm_star = jm_star.reshape(nz, bp_tot, Np, K).astype(dtype)
     ekr = ekr.reshape(nz, bp_tot, Np, K).astype(dtype)
+    # K == 1: drop the trailing source axis from the HBM layout (it would
+    # otherwise occupy the 128-lane tile position — 128x buffer padding;
+    # see _moment_kernel's k1 note). Re-expanded in-kernel and on return.
+    k1 = K == 1
+    if k1:
+        j0_p, jm_star, ekr = j0_p[..., 0], jm_star[..., 0], ekr[..., 0]
 
     Zbd_pp = jnp.stack([jnp.kron(jnp.eye(pack, dtype=dtype), Z_pp_m[c])
                         for c in range(C)])
@@ -357,6 +377,18 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     zflag = (jnp.zeros((nz, 8, 128), dtype).at[0].set(1.0)
              + 0.0 * tau[0, 0].astype(dtype))
 
+    if k1:
+        vspec = pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
+                             memory_space=pltpu.VMEM)
+        vec_o = pl.BlockSpec((bb, Np), lambda i, z: (i, _I0),
+                             memory_space=pltpu.VMEM)
+        vec_shape = jax.ShapeDtypeStruct((bp_pad, Np), dtype)
+    else:
+        vspec = pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
+                             memory_space=pltpu.VMEM)
+        vec_o = pl.BlockSpec((bb, Np, K), lambda i, z: (i, _I0, _I0),
+                             memory_space=pltpu.VMEM)
+        vec_shape = jax.ShapeDtypeStruct((bp_pad, Np, K), dtype)
     in_specs = [
         vmem((C, Np, Np)),                                       # Zbd_pp
         vmem((C, Np, Np)),                                       # Zbd_mp
@@ -369,22 +401,17 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
                      memory_space=pltpu.VMEM),                   # Em1
         pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
                      memory_space=pltpu.VMEM),                   # dt
-        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
-                     memory_space=pltpu.VMEM),                   # jp
-        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
-                     memory_space=pltpu.VMEM),                   # jm_star
-        pl.BlockSpec((1, bb, Np, K), lambda i, z: (z, i, _I0, _I0),
-                     memory_space=pltpu.VMEM),                   # ekr
+        vspec,                                                   # jp
+        vspec,                                                   # jm_star
+        vspec,                                                   # ekr
     ]
     mat_o = pl.BlockSpec((bb, Np, Np), lambda i, z: (i, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    vec_o = pl.BlockSpec((bb, Np, K), lambda i, z: (i, _I0, _I0),
-                         memory_space=pltpu.VMEM)
     out_shapes = (jax.ShapeDtypeStruct((bp_pad, Np, Np), dtype),) * 4 + \
-                 (jax.ShapeDtypeStruct((bp_pad, Np, K), dtype),) * 2
+                 (vec_shape,) * 2
 
     kernel = partial(_moment_kernel, nz=nz, ns_sched=ns_sched,
-                     ns_inter=ns_inter, dot_mode=dot_mode)
+                     ns_inter=ns_inter, dot_mode=dot_mode, k1=k1)
     fn = pl.pallas_call(
         kernel, grid=grid,
         in_specs=in_specs,
@@ -399,4 +426,6 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
              Em1p.astype(dtype), dtp.astype(dtype), j0_p, jm_star, ekr)
     if bp_pad != bp_tot:
         out = tuple(o[:bp_tot] for o in out)
+    if k1:
+        out = out[:4] + (out[4][..., None], out[5][..., None])
     return out

@@ -81,15 +81,22 @@ def _rrs_kernel(Zpp_ref, Zmp_ref, Zrw_pp_ref, Zrw_mp_ref, geom_ref,
     bp, Np = Em1_ref.shape[1], Em1_ref.shape[2]
     first = zflag_ref[0, 0, 0] > 0.5
 
+    # K = 1 source layout: the trailing source axis is dropped from HBM
+    # (it would pad the 128-lane tile position 128x — see fused_band's
+    # _moment_kernel k1 note) and re-expanded here.
+    jp_in = jp_ref[0][..., None]
+    jms_in = jms_ref[0][..., None]
+    ekr_in = ekr_ref[0][..., None]
+
     eye = geom_ref[_EYE][None]
     zero_m = jnp.zeros((bp, Np, Np), dtype)
-    zero_v = jnp.zeros(Jp_o.shape, dtype)
+    zero_v = jnp.zeros(jp_in.shape, dtype)
     Rmp_c = jnp.where(first, zero_m, Rmp_o[:])
     Rpm_c = jnp.where(first, zero_m, Rpm_o[:])
     Tpp_c = jnp.where(first, eye + zero_m, Tpp_o[:])
     Tmm_c = jnp.where(first, eye + zero_m, Tmm_o[:])
-    Jp_c = jnp.where(first, zero_v, Jp_o[:])
-    Jm_c = jnp.where(first, zero_v, Jm_o[:])
+    Jp_c = jnp.where(first, zero_v, Jp_o[:][..., None])
+    Jm_c = jnp.where(first, zero_v, Jm_o[:][..., None])
 
     # Elastic diagonal blocks: the standard assembly on concatenated
     # [l0; l1] row tables with block-diagonal Z builds both wavelengths'
@@ -130,7 +137,7 @@ def _rrs_kernel(Zpp_ref, Zmp_ref, Zrw_pp_ref, Zrw_mp_ref, geom_ref,
     m_lad, _, m_int = dot_mode.partition("/")
     m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
     r, t, jp_v, jm_v = _doubling_math(
-        r_star, t_pp, jp_ref[0], jms_ref[0], ekr_ref[0], ns_sched, m_lad,
+        r_star, t_pp, jp_in, jms_in, ekr_in, ns_sched, m_lad,
         beer_diag=1.0 + Em1)
     d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
     r_mp_l = r * geom_ref[_DI][None]
@@ -141,6 +148,7 @@ def _rrs_kernel(Zpp_ref, Zmp_ref, Zrw_pp_ref, Zrw_mp_ref, geom_ref,
     out = _interaction_math(
         Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
         r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
+    out = out[:4] + (out[4][..., 0], out[5][..., 0])
     for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
         ref[:] = val
 
@@ -161,6 +169,22 @@ def _roll_stack(arrays, shifts, axis):
             jax.lax.dynamic_slice_in_dim(ap, M + int(sh), S, axis=axis)
             for sh in shifts]))
     return tuple(outs)
+
+
+def ie_ladder_resolution(ndoubl, ns_sched):
+    """ie-specific (ndoubl, ns_sched): the ie field is a ~1% additive
+    correction gated at ~5e-3 of its own scale (PERF.md), i.e. its
+    slab-resolution requirement is ~100x looser than the elastic field's
+    dtau_max rule. Two doublings fewer (4x coarser elemental slab,
+    O(dtau^2) elemental error still ~1e-4 of the ie field) buys back 40%
+    of the block-kernel ladder; the NS schedule keeps the LAST entries of
+    the elastic scene-probed schedule (step k of the short ladder has the
+    spectral radius of elastic step k + dropped). Parity is enforced by
+    tests/test_fused_rrs.py and the bench gate, both of which compare
+    against the full-resolution XLA path."""
+    ie_nd = max(ndoubl - 2, min(ndoubl, 2))
+    sched = _norm_sched(ns_sched, ndoubl)
+    return ie_nd, sched[ndoubl - ie_nd:]
 
 
 def fused_moment_rrs(Z_pp_m, Z_mp_m, Zr_pp_m, Zr_mp_m, tau, scat_w,
@@ -261,10 +285,10 @@ def fused_moment_rrs(Z_pp_m, Z_mp_m, Zr_pp_m, Zr_mp_m, tau, scat_w,
     # l1 half, so the value must be present there — both halves carry it
     # (the Zrw mask kills it everywhere outside the ie block).
     prefp = pair(rows(prefv), rows(prefv)).astype(dtype)
-    jp_pair = pair(jp0, iejp)[..., None].astype(dtype)
+    jp_pair = pair(jp0, iejp).astype(dtype)
     d2 = jnp.tile(d_vec, 2).astype(dtype)
-    jm_pair = (pair(jm0, iejm) * d2[None, None, :])[..., None].astype(dtype)
-    ekr = pair(rows(ek0), rows(ek0))[..., None].astype(dtype)
+    jm_pair = (pair(jm0, iejm) * d2[None, None, :]).astype(dtype)
+    ekr = pair(rows(ek0), rows(ek0)).astype(dtype)
 
     eye2 = jnp.eye(2, dtype=dtype)
     Zbd_pp = jnp.stack([jnp.kron(eye2, Z_pp_m[c]) for c in range(C)])
@@ -318,19 +342,19 @@ def fused_moment_rrs(Z_pp_m, Z_mp_m, Zr_pp_m, Zr_mp_m, tau, scat_w,
                      memory_space=pltpu.VMEM),                   # Em1
         pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
                      memory_space=pltpu.VMEM),                   # dt
-        pl.BlockSpec((1, bb, Np, 1), lambda i, z: (z, i, _I0, _I0),
+        pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
                      memory_space=pltpu.VMEM),                   # jp
-        pl.BlockSpec((1, bb, Np, 1), lambda i, z: (z, i, _I0, _I0),
+        pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
                      memory_space=pltpu.VMEM),                   # jm_star
-        pl.BlockSpec((1, bb, Np, 1), lambda i, z: (z, i, _I0, _I0),
+        pl.BlockSpec((1, bb, Np), lambda i, z: (z, i, _I0),
                      memory_space=pltpu.VMEM),                   # ekr
     ]
     mat_o = pl.BlockSpec((bb, Np, Np), lambda i, z: (i, _I0, _I0),
                          memory_space=pltpu.VMEM)
-    vec_o = pl.BlockSpec((bb, Np, 1), lambda i, z: (i, _I0, _I0),
+    vec_o = pl.BlockSpec((bb, Np), lambda i, z: (i, _I0),
                          memory_space=pltpu.VMEM)
     out_shapes = (jax.ShapeDtypeStruct((bp_pad, Np, Np), dtype),) * 4 + \
-                 (jax.ShapeDtypeStruct((bp_pad, Np, 1), dtype),) * 2
+                 (jax.ShapeDtypeStruct((bp_pad, Np), dtype),) * 2
 
     kernel = partial(_rrs_kernel, nz=nz, ns_sched=ns_sched,
                      ns_inter=ns_inter, dot_mode=dot_mode)
@@ -353,7 +377,7 @@ def fused_moment_rrs(Z_pp_m, Z_mp_m, Zr_pp_m, Zr_mp_m, tau, scat_w,
         return o.reshape(nR, s, Np, Np)[:, :, N:, :N]
 
     def ie_vec(o):
-        return o[..., 0].reshape(nR, s, Np)[:, :, N:]
+        return o.reshape(nR, s, Np)[:, :, N:]
 
     R_mp, R_pm, T_pp, T_mm, J_p, J_m = out
     return (ie_mat(R_mp), ie_mat(R_pm), ie_mat(T_pp), ie_mat(T_mm),
