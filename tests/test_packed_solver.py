@@ -167,7 +167,8 @@ class TestPathParity:
             surf_r=np.asarray(inputs.surf_r)[0]
             * float(np.max(np.asarray(inputs.surf_spec))))
         assert len(sched) == config.ndoubl
-        assert all(1 <= k <= 12 for k in sched)
+        # 0 = seed-only (I + S) steps, scheduled when rho^2 < tol
+        assert all(0 <= k <= 12 for k in sched)
 
         cfg = dataclasses.replace(config, fused=True, pack=2,
                                   ns_sched=sched, ns_inter=inter)

@@ -122,34 +122,47 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     Jp_c = jnp.where(first, zero_v, _kx(Jp_o[:]))
     Jm_c = jnp.where(first, zero_v, _kx(Jm_o[:]))
 
-    # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
-    Em1 = Em1_ref[0]                         # (bp, Np)
-    dt = dt_ref[0]
-    r_mp, t_pp, _ = _assemble_elemental(Zpp_ref, Zmp_ref, geom_ref,
-                                        wrow_ref[0], Em1, dt)
+    out = _moment_body(Zpp_ref[:], Zmp_ref[:], wrow_ref[0], Em1_ref[0],
+                       dt_ref[0], jp_in, jms_in, ekr_in,
+                       Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
+                       geom=geom_ref[:], ns_sched=ns_sched,
+                       ns_inter=ns_inter, dot_mode=dot_mode)
+    if k1:
+        out = out[:4] + (out[4][..., 0], out[5][..., 0])
+    for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
+        ref[:] = val
 
-    r_star = r_mp * geom_ref[_DI][None]
+
+def _moment_body(Zpp, Zmp, wrow, Em1, dt, jp, jms, ekr,
+                 Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
+                 *, geom, ns_sched, ns_inter, dot_mode):
+    """Pure per-(block, layer) step on ARRAYS (no refs): elemental
+    assembly + doubling ladder + adding. Shared by the elastic kernel and
+    the multitangent kernel (ops/fused_lin.py), whose jax.linearize
+    replays P tangents against ONE primal trace of this function — the
+    linearize-split the reference hand-writes as its ap_* all-parameter
+    kernels (elemental_lin.jl:456-602, doubling_lin.jl:79-475)."""
+    # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
+    r_mp, t_pp, _ = _assemble_elemental(Zpp, Zmp, geom, wrow, Em1, dt)
+
+    r_star = r_mp * geom[_DI][None]
 
     # ---- doubling ladder + adding (shared algebra with the XLA path) ----
     # dot_mode "A/B" = ladder mode A, interaction mode B (probe syntax).
     m_lad, _, m_int = dot_mode.partition("/")
     m_int = m_int or ("split3" if m_lad == "split3d" else m_lad)
     r, t, jp_v, jm_v = _doubling_math(
-        r_star, t_pp, jp_in, jms_in, ekr_in, ns_sched, m_lad,
+        r_star, t_pp, jp, jms, ekr, ns_sched, m_lad,
         beer_diag=1.0 + Em1)
-    d_col = geom_ref[_DI][:, :1][None]       # (1, Np, 1): d_i per row
-    r_mp_l = r * geom_ref[_DI][None]         # unstar: multiply rows by d_i
+    d_col = geom[_DI][:, :1][None]           # (1, Np, 1): d_i per row
+    r_mp_l = r * geom[_DI][None]             # unstar: multiply rows by d_i
     jm_u = jm_v * d_col
-    r_pm_l = geom_ref[_SGN][None] * r_mp_l
-    t_mm_l = geom_ref[_SGN][None] * t
+    r_pm_l = geom[_SGN][None] * r_mp_l
+    t_mm_l = geom[_SGN][None] * t
 
-    out = _interaction_math(
+    return _interaction_math(
         Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
         r_mp_l, r_pm_l, t, t_mm_l, jp_v, jm_u, ns_inter, m_int)
-    if k1:
-        out = out[:4] + (out[4][..., 0], out[5][..., 0])
-    for ref, val in zip((Rmp_o, Rpm_o, Tpp_o, Tmm_o, Jp_o, Jm_o), out):
-        ref[:] = val
 
 
 def _assemble_elemental(Zpp_ref, Zmp_ref, geom_ref, wrow, Em1, dt):
@@ -180,15 +193,16 @@ def _assemble_elemental(Zpp_ref, Zmp_ref, geom_ref, wrow, Em1, dt):
     # (Em1_i - Em1_j)/E_j reuses the f64-accurate precursors; the pure-f32
     # series covers the small-|x| region where that difference cancels.
     # Note E_j cancels against the t_off E_j factor in the identity branch.
+    # The off-diagonal/same-mu masks and the 1/delta factor are FOLDED
+    # into the static _TO/_TS tables (round-5 VPU shave): _TO already
+    # carries (1-same) mu_j w_j / delta and _TS carries same * w_j / mu_i,
+    # so the branch select + mask arithmetic collapses to one where.
     x = dt[:, :, None] * geom_ref[_A][None]        # = u_i - u_j
-    ratio_small = _expm1_series(x) * E_j * geom_ref[_INVD][None]
-    ratio_big = (Em1[:, :, None] - Em1[:, None, :]) * geom_ref[_INVD][None]
-    ratio_Ej = jnp.where(jnp.abs(x) < 0.3, ratio_small, ratio_big)
-    t_off = wZ_pp * geom_ref[_TO][None] * ratio_Ej
-    t_same = E_j * wZ_pp * (dt[:, :, None] * geom_ref[_TS][None])
-    beer = E_i * geom_ref[_EYE][None]
-    same = geom_ref[_SAME][None]
-    t_pp = same * (t_same + beer) + (1.0 - same) * t_off
+    num = jnp.where(jnp.abs(x) < 0.3, _expm1_series(x) * E_j,
+                    Em1[:, :, None] - Em1[:, None, :])
+    t_pp = wZ_pp * (num * geom_ref[_TO][None]
+                    + (dt[:, :, None] * geom_ref[_TS][None]) * E_j) \
+        + E_i * geom_ref[_EYE][None]
     return r_mp, t_pp, one_m_EE
 
 
@@ -206,14 +220,17 @@ def _geom_tables(qp_mu_N, wct, d_vec, pack, dtype, ie=False):
     delta = jnp.where(same, 1.0, mu_i - mu_j)
     Np = qp.shape[0]
     eye = jnp.eye(Np, dtype=dtype)
+    nsame = 1.0 - same.astype(dtype)
     tabs = [
         (mu_j / (mu_i + mu_j)) * wt[None, :],      # _RG
         delta / (mu_i * mu_j),                     # _A
         1.0 / delta,                               # _INVD
         same.astype(dtype),                        # _SAME
         eye,                                       # _EYE
-        jnp.broadcast_to(mu_j * wt[None, :], (Np, Np)),   # _TO
-        wt[None, :] / mu_i,                        # _TS
+        nsame * mu_j * wt[None, :] / delta,        # _TO (t_off geometry,
+                                                   #  masks + 1/delta folded)
+        same.astype(dtype) * wt[None, :] / mu_i,   # _TS (t_same geometry,
+                                                   #  same-mu mask folded)
         jnp.broadcast_to(d[:, None], (Np, Np)),    # _DI
         jnp.broadcast_to(d[None, :], (Np, Np)),    # _DJ
         d[:, None] * d[None, :],                   # _SGN
@@ -269,35 +286,22 @@ def solar_source_vectors(Z_pp_m, Z_mp_m, w_over, F0_m, Em1, Em1_0, att,
     return j_sol_p * att3, j_sol_m * att3
 
 
-def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
-                 thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
-                 *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
-                 n_stokes, i_mu0_start, n_sources=1, block=16,
-                 interpret=None, dot_mode="highest"):
-    """Run all nz layers of one Fourier moment in one Pallas kernel.
-
-    Shapes: Z (C, N, N); tau/Em1_0/att/ek_sol/thermal (nz, s);
-    scat_w (nz, C, s); Em1 (nz, s, N); F0_m (ns, s); vectors (N,).
-    wct = fourier_weight * wt_mu_N and F0_m = fourier_weight * F0 (the
-    per-moment scalars are folded into the inputs so one compilation
-    serves every moment). Returns the packed composite tuple
-    (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m): (s/pack, pN, pN) / (s/pack, pN, K).
-    """
+def band_operands(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
+                  thermal, F0_m, qp_mu_N, d_vec, is_I, in_blk,
+                  *, ndoubl, pack, n_stokes, i_mu0_start, n_sources):
+    """XLA-side prep of the band kernel's operand arrays — a PURE function
+    of the differentiable inputs, so ops/fused_lin.py can jax.linearize
+    it once and replay per-parameter tangents cheaply. Returns
+    (Zbd_pp, Zbd_mp, wrow, Em1p, dtp, j0_p, jm_star, ekr) with the K axis
+    squeezed when n_sources == 1 (the k1 HBM layout)."""
     nz, s = tau.shape
     C, N, _ = Z_pp_m.shape
     K = n_sources
-    ns = F0_m.shape[0]
-    assert s % pack == 0, (s, pack)
+    ns = n_stokes
     bp_tot = s // pack
     Np = pack * N
     dtype = Z_pp_m.dtype
-    ns_sched = _norm_sched(ns_sched, ndoubl)
-    if dtype != jnp.float32 and "split" in dot_mode:
-        dot_mode = "highest"    # bf16 splitting is an f32 construction
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
 
-    # ---- XLA-side prep: packed row tables + source vectors -------------
     safe_tau = jnp.where(tau > 0, tau, 1.0)
     w_over = scat_w / safe_tau[:, None, :]                  # (nz, C, s)
     wrow = jnp.broadcast_to(w_over[..., None], (nz, C, s, N)) \
@@ -328,14 +332,49 @@ def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
     # K == 1: drop the trailing source axis from the HBM layout (it would
     # otherwise occupy the 128-lane tile position — 128x buffer padding;
     # see _moment_kernel's k1 note). Re-expanded in-kernel and on return.
-    k1 = K == 1
-    if k1:
+    if K == 1:
         j0_p, jm_star, ekr = j0_p[..., 0], jm_star[..., 0], ekr[..., 0]
 
     Zbd_pp = jnp.stack([jnp.kron(jnp.eye(pack, dtype=dtype), Z_pp_m[c])
                         for c in range(C)])
     Zbd_mp = jnp.stack([jnp.kron(jnp.eye(pack, dtype=dtype), Z_mp_m[c])
                         for c in range(C)])
+    return (Zbd_pp, Zbd_mp, wrow.astype(dtype), Em1p.astype(dtype),
+            dtp.astype(dtype), j0_p, jm_star, ekr)
+
+
+def fused_moment(Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol,
+                 thermal, F0_m, qp_mu_N, wct, d_vec, is_I, in_blk,
+                 *, ndoubl, ns_sched=None, ns_inter=6, pack=1,
+                 n_stokes, i_mu0_start, n_sources=1, block=16,
+                 interpret=None, dot_mode="highest"):
+    """Run all nz layers of one Fourier moment in one Pallas kernel.
+
+    Shapes: Z (C, N, N); tau/Em1_0/att/ek_sol/thermal (nz, s);
+    scat_w (nz, C, s); Em1 (nz, s, N); F0_m (ns, s); vectors (N,).
+    wct = fourier_weight * wt_mu_N and F0_m = fourier_weight * F0 (the
+    per-moment scalars are folded into the inputs so one compilation
+    serves every moment). Returns the packed composite tuple
+    (R_mp, R_pm, T_pp, T_mm, J0_p, J0_m): (s/pack, pN, pN) / (s/pack, pN, K).
+    """
+    nz, s = tau.shape
+    C, N, _ = Z_pp_m.shape
+    K = n_sources
+    assert s % pack == 0, (s, pack)
+    bp_tot = s // pack
+    Np = pack * N
+    dtype = Z_pp_m.dtype
+    ns_sched = _norm_sched(ns_sched, ndoubl)
+    if dtype != jnp.float32 and "split" in dot_mode:
+        dot_mode = "highest"    # bf16 splitting is an f32 construction
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    (Zbd_pp, Zbd_mp, wrow, Em1p, dtp, j0_p, jm_star, ekr) = band_operands(
+        Z_pp_m, Z_mp_m, tau, scat_w, Em1, Em1_0, att, ek_sol, thermal,
+        F0_m, qp_mu_N, d_vec, is_I, in_blk, ndoubl=ndoubl, pack=pack,
+        n_stokes=n_stokes, i_mu0_start=i_mu0_start, n_sources=n_sources)
+    k1 = K == 1
     geom = _geom_tables(qp_mu_N.astype(dtype), wct.astype(dtype),
                         d_vec.astype(dtype), pack, dtype)
 

@@ -199,9 +199,27 @@ def _doubling_math_split3d(r, t, jp, jm, ek_rows, ns_sched, beer_diag):
     for ns_iters in ns_sched:
         rsp = _sp(r)
         ssp = _sp(s)
-        gp = _ns_inverse(_dot3(rsp, rsp), ns_iters, M)
-        g = gp - eye
-        gsp = _sp(g)
+        # Inline geometric inverse with split reuse: g = (I-S)^-1 - I.
+        # ns_iters == 0 -> g = S exactly (seed-only; scheduled when
+        # rho^2 < tol, ops/ns_schedule.iters_for_rho) — zero extra dots
+        # and S's split doubles as g's. ns_iters == 1 -> the same
+        # degree-3 truncated Neumann polynomial the NS step produces,
+        # computed directly (I + S + S^2 + S^3) with one fewer split.
+        S = _dot3(rsp, rsp)
+        Ssp = _sp(S)
+        if ns_iters == 0:
+            g, gsp = S, Ssp
+        elif ns_iters == 1:
+            S2 = _dot3(Ssp, Ssp)
+            g = S + S2 + _dot3(Ssp, _sp(S2))
+            gsp = _sp(g)
+        else:
+            m = eye + S
+            for _ in range(ns_iters):
+                msp = _sp(m)
+                m = _dot3(msp, _sp(2.0 * eye - m + _dot3(Ssp, msp)))
+            g = m - eye
+            gsp = _sp(g)
         v = s + d[:, :, None] * g + _dot3(ssp, gsp)
         jm_e = jm * ek_rows
         X = _dot3(rsp, _cat_sp([ssp, _sp(jp), _sp(jm_e)]))

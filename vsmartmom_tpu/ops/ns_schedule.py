@@ -35,11 +35,18 @@ MAX_ITERS = 12
 
 
 def iters_for_rho(rho: float, tol: float = TOL) -> int:
-    """Smallest k with rho^(2^(k+1)) < tol, +1 safety, clamped [1, 12]."""
+    """Smallest k with rho^(2^(k+1)) < tol, +1 safety, clamped [0, 12].
+
+    0 means the Neumann SEED I + S alone: its residual is exactly
+    ||S^2|| <= rho^2, so when rho^2 < tol the inverse costs ZERO dots —
+    early doubling-ladder steps have rho ~ (pi dtau)^2 ~ 1e-6 and take
+    this path (round-5 ladder shave; the +1 safety iteration is not
+    needed because the infinity-norm bound is already >= the spectral
+    radius)."""
     if not np.isfinite(rho) or rho >= 1.0:
         return MAX_ITERS
-    if rho <= 0.0:
-        return 1
+    if rho <= 0.0 or rho * rho < tol:
+        return 0
     need = np.log(tol) / np.log(rho)       # required exponent 2^(k+1)
     k = int(np.ceil(np.log2(max(need, 2.0)))) - 1
     return int(np.clip(k + 1, 1, MAX_ITERS))
