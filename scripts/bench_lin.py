@@ -42,26 +42,49 @@ def main(n_spec=1024):
     tan_stack = jax.tree_util.tree_map(
         lambda *ts: jnp.stack([jnp.asarray(t) for t in ts]), *tangents_j)
 
-    def fn(inp):
-        out = rt_solve(inp, config)
-        return out["R"], out["T"]
+    import os
+    use_mt = config.fused and config.n_sources == 1 \
+        and not os.environ.get("VSM_LIN_JVP")
+    if use_mt:
+        # Multitangent linearize-split kernel: primal ladder once per
+        # chunk, all tangents replayed against its residuals
+        # (ops/fused_lin.py; VERDICT r4 item 3).
+        import dataclasses
+        from vsmartmom_tpu.ops.fused_lin import rt_solve_multitangent
+        config = dataclasses.replace(config, band_block=8)
+        mt = jax.jit(rt_solve_multitangent,
+                     static_argnames=("config", "mt_chunk"))
+        out = mt(inputs, tangents_j, config)
+        jax.block_until_ready(out)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = mt(inputs, tangents_j, config)
+        _ = np.asarray(out[2])
+        dt = (time.perf_counter() - t0) / reps
+        label = "multitangent"
+    else:
+        def fn(inp):
+            out = rt_solve(inp, config)
+            return out["R"], out["T"]
 
-    # Per-parameter loop over one compiled tangent kernel (the vmapped
-    # all-parameter jvp OOMs HBM at this width — see rt_run_lin).
-    g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])
-    tans = [jax.tree_util.tree_map(lambda a: a[i], tan_stack)
-            for i in range(len(tangents_j))]
-    out = [g(d) for d in tans]
-    jax.block_until_ready(out)
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
+        # Per-parameter loop over one compiled tangent kernel (the vmapped
+        # all-parameter jvp OOMs HBM at this width — see rt_run_lin).
+        g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])
+        tans = [jax.tree_util.tree_map(lambda a: a[i], tan_stack)
+                for i in range(len(tangents_j))]
         out = [g(d) for d in tans]
-    _ = np.asarray(out[-1][0])
-    dt = (time.perf_counter() - t0) / reps
-    print(f"linearized solve ({layout.n_total} tangents): {dt*1e3:.1f} ms "
-          f"-> {n_spec/dt:.0f} pts/s ({n_spec*layout.n_total/dt:.0f} "
-          f"tangent-pts/s)", flush=True)
+        jax.block_until_ready(out)
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = [g(d) for d in tans]
+        _ = np.asarray(out[-1][0])
+        dt = (time.perf_counter() - t0) / reps
+        label = "per-param jvp"
+    print(f"linearized solve [{label}] ({layout.n_total} tangents): "
+          f"{dt*1e3:.1f} ms -> {n_spec/dt:.0f} pts/s "
+          f"({n_spec*layout.n_total/dt:.0f} tangent-pts/s)", flush=True)
     return {"pts_per_s": n_spec / dt,
             "tangent_pts_per_s": n_spec * layout.n_total / dt,
             "ms": dt * 1e3, "n_spec": n_spec, "n_params": layout.n_total}

@@ -179,3 +179,28 @@ class TestFusedJvp:
         np.testing.assert_allclose(R2, R1, rtol=5e-5, atol=1e-8)
         scale = np.abs(dR1).max()
         np.testing.assert_allclose(dR2, dR1, rtol=0, atol=1e-4 * scale)
+
+    def test_multitangent_matches_jvp_loop(self):
+        """The multitangent linearize-split kernel (ops/fused_lin.py:
+        primal ladder once, P tangent replays per chunk) must match the
+        per-parameter jvp path on the full aerosol+wind parameter stack
+        (8 params -> exercises tangent chunking too)."""
+        import copy as _copy
+        import os
+
+        params = _params(wind=6.0, aerosol=True)
+        params = _copy.deepcopy(params)
+        params.fused = True
+        params.pack = 2
+        m = model_from_parameters(params)
+
+        os.environ["VSM_LIN_JVP"] = "1"
+        try:
+            R1, T1, dR1, dT1 = rt_run_lin(m)
+        finally:
+            del os.environ["VSM_LIN_JVP"]
+        R2, T2, dR2, dT2 = rt_run_lin(m)
+        np.testing.assert_allclose(R2, R1, rtol=1e-5, atol=1e-8)
+        for a, b in ((dR2, dR1), (dT2, dT1)):
+            scale = np.abs(b).max()
+            np.testing.assert_allclose(a, b, rtol=0, atol=2e-4 * scale)

@@ -87,3 +87,45 @@ def test_airborne_level_physical():
     assert 0 < mid <= boa * (1 + 1e-9)
     # magnitudes: ie is a small correction to the elastic field
     assert np.abs(ieuwJ).max() < 0.1 * np.abs(uwJ).max()
+
+
+def test_flagship_aerosol_coxmunk_iqu():
+    """Flagship-class MS-RS (VERDICT r4 item 6): scattering aerosol over a
+    wind-roughened Cox-Munk ocean, Stokes IQU. The TOA sensor must
+    reproduce the full inelastic solver on the same scene — this
+    exercises the aerosol ie dilution (fScattRayleigh < 1), the polarized
+    numeric-BRDF surface inside the ie adding, and the high-m Fourier
+    loop the ocean surface drives. A mid-column sensor must stay
+    physical. Ref: rt_kernel_multisensor.jl, interaction_multisensor.jl."""
+    from vsmartmom_tpu.core.model import RTAerosol, ScatteringParams
+
+    params = Parameters(
+        spec_bands=[NU],
+        surfaces=[SurfaceDescriptor("CoxMunkSurface", [],
+                                    {"wind_speed": 6.0})],
+        nstreams=4, polarization=STOKES_IQU,
+        sza=45.0, vza=[0.0, 40.0], vaz=[0.0, 90.0], obs_alt=0.0,
+        T=np.linspace(250.0, 285.0, 2), p=np.linspace(100.0, 1013.0, 3),
+        depol=-1.0,
+        scattering_params=ScatteringParams(
+            rt_aerosols=[RTAerosol(tau_ref=0.2, p0=900.0, sigma_p=80.0,
+                                   phase_function_g=0.7, ssa=0.9)],
+            nquad_radius=100, r_max=10.0, lambda_ref=1e4 / 13000.0))
+    model = model_from_parameters(params)
+
+    R, T, ieR, ieT = rt_run_inelastic(model)
+    uwJ, dwJ, ieuwJ, iedwJ = rt_run_ms_rrs(model, [0, 1])
+    np.testing.assert_allclose(uwJ[0], R, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(dwJ[0], T, rtol=1e-7, atol=1e-12)
+    np.testing.assert_allclose(ieuwJ[0], ieR, rtol=1e-6, atol=1e-14)
+    np.testing.assert_allclose(iedwJ[0], ieT, rtol=1e-6, atol=1e-14)
+
+    # the ie field is a real signal and the aerosol dilutes it relative
+    # to a pure-Rayleigh column of the same scattering depth
+    assert np.abs(ieR).max() > 0
+    # mid-column sensor: finite, polarized-physical (|Q|,|U| <= I)
+    for J in (uwJ[1], dwJ[1], ieuwJ[1], iedwJ[1]):
+        assert np.all(np.isfinite(J))
+    I_mid = uwJ[1][:, 0]
+    assert np.all(np.abs(uwJ[1][:, 1]) <= I_mid + 1e-12)
+    assert np.all(np.abs(uwJ[1][:, 2]) <= I_mid + 1e-12)

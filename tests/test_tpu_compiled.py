@@ -64,3 +64,61 @@ def test_fused_band_compiled_parity_on_tpu():
         pytest.skip(res["skip"])
     assert res["finite"]
     assert res["rel"] < 1e-4, f"compiled fused-vs-plain parity {res['rel']:.2e}"
+
+
+_PROBE_RRS = r"""
+import json, sys
+import jax, numpy as np
+sys.path.insert(0, {repo!r})
+sys.path.insert(0, {repo!r} + "/scripts")
+if jax.default_backend() != "tpu":
+    print(json.dumps({{"skip": "no tpu"}})); sys.exit(0)
+
+from bench_rrs import _model
+from vsmartmom_tpu.core import inelastic as IE
+from vsmartmom_tpu.core.inelastic import (inelastic_setup, rt_solve_rrs,
+                                          rt_solve_rrs_fused)
+
+model = _model(64)
+(inputs, config, shifts, w_shifts, Zp, Zm, fscatt,
+ src_fn) = inelastic_setup(model)
+assert config.fused, config
+out = rt_solve_rrs_fused(inputs, config, shifts, w_shifts, Zp, Zm, fscatt)
+# exact ie dots for the XLA reference — this also gates the TPU-only
+# IE_PRECISION default ('default' single-pass dots) that CPU CI cannot
+# see (ADVICE r4 item 1): the comparison below includes that choice.
+IE.IE_PRECISION = "highest"
+ref = rt_solve_rrs(inputs, config, shifts, w_shifts, Zp, Zm, fscatt,
+                   src_fn=src_fn)
+rels = {{}}
+for k in ("R", "ieR"):
+    a, b = np.asarray(out[k]), np.asarray(ref[k])
+    rels[k] = float(np.max(np.abs(a - b)) / (np.max(np.abs(b)) + 1e-30))
+print(json.dumps({{"rels": rels,
+                   "finite": bool(np.isfinite(np.asarray(out["ieR"])).all())}}))
+"""
+
+
+@pytest.mark.skipif(os.environ.get("VSM_SKIP_TPU_TESTS") == "1",
+                    reason="explicitly disabled")
+def test_fused_rrs_compiled_parity_on_tpu():
+    """Compiled-chip gate for the block-bichromatic RRS kernel vs the
+    exact-precision XLA ie path: covers the Mosaic lowering, the coarse
+    ie-ladder resolution, AND the TPU-only IE_PRECISION default in one
+    measurement (the CPU suite structurally cannot see any of them)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _PROBE_RRS.format(repo=repo)],
+        capture_output=True, text=True, timeout=1800, env=_clean_env(),
+        cwd=repo)
+    lines = [ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        if "no tpu" in proc.stdout + proc.stderr or not lines:
+            pytest.skip(f"TPU unavailable: {proc.stderr[-400:]}")
+    res = json.loads(lines[-1])
+    if "skip" in res:
+        pytest.skip(res["skip"])
+    assert res["finite"]
+    assert res["rels"]["R"] < 1e-4, res
+    assert res["rels"]["ieR"] < 5e-3, res

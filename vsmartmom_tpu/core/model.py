@@ -472,7 +472,9 @@ class RTModel:
         fused = params.fused
         if fused is None:
             from ..ops.fused_rt import use_fused
-            fused = use_fused()
+            # f64 must stay on the XLA path: Mosaic has no f64 lowering
+            # (TPU f64 accuracy comes from the refined-solve XLA path).
+            fused = use_fused() and ft == np.float32
         pack = params.pack
         if pack is None:
             from ..ops.packing import pick_pack
