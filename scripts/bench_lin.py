@@ -52,8 +52,9 @@ def main(n_spec=1024):
         import dataclasses
         from vsmartmom_tpu.ops.fused_lin import rt_solve_multitangent
         config = dataclasses.replace(config, band_block=8)
-        mt = jax.jit(rt_solve_multitangent,
-                     static_argnames=("config", "mt_chunk"))
+        chunk = int(os.environ.get("VSM_MT_CHUNK", "4"))
+        mt = jax.jit(lambda i, t, c: rt_solve_multitangent(
+            i, t, c, mt_chunk=chunk), static_argnames=("c",))
         out = mt(inputs, tangents_j, config)
         jax.block_until_ready(out)
         reps = 5

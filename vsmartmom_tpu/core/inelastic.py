@@ -603,10 +603,12 @@ def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
     # elastic resolution (parity probing).
     from ..ops.fused_rrs import ie_ladder_resolution
     if os.environ.get("VSM_IE_FULLRES"):
-        ie_nd, ie_sched = config.ndoubl, (config.ns_sched or None)
+        ie_nd, ie_sched, ie_inter = (config.ndoubl,
+                                     config.ns_sched or None,
+                                     config.ns_inter)
     else:
-        ie_nd, ie_sched = ie_ladder_resolution(config.ndoubl,
-                                               config.ns_sched or None)
+        ie_nd, ie_sched, ie_inter = ie_ladder_resolution(
+            config.ndoubl, config.ns_sched or None, config.ns_inter)
     if ie_nd != config.ndoubl:
         dtau_ie = tau / (2.0 ** ie_nd)
         Em1_ie = _expm1(-dtau_ie[:, :, None] / qp_mu_N[None, None, :])
@@ -674,7 +676,7 @@ def rt_solve_rrs_fused(inputs: SolverInputs, config: SolverConfig,
                 Em10_ie, att_pre, ek_ie, fscatt, sh_c, w_c, F0 * fw,
                 qp_mu_N, fw * wt_mu_N, d_vec, in_blk_vec,
                 ndoubl=ie_nd, ns_sched=ie_sched,
-                ns_inter=config.ns_inter, n_stokes=ns,
+                ns_inter=ie_inter, n_stokes=ns,
                 i_mu0_start=config.i_mu0_start, block=config.band_block,
                 dot_mode=config.dot_mode))
             comp_ie = ie_interaction(comp_d, surf_d, comp_ie, add_ie0,

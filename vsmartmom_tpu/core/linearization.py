@@ -284,7 +284,6 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         out = rt_solve(inp, config)
         return out["R"], out["T"]
 
-    (R, T) = fn(inputs)
     # All Nparams tangents as ONE vmapped jvp (round-2 VERDICT weak item
     # 8: the per-parameter Python loop re-dispatched full tangent inputs
     # host->device once per parameter).
@@ -300,14 +299,18 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         # primal ladder runs ONCE per chunk of parameters and its
         # residuals feed every tangent chain — replacing the previous
         # per-parameter jvp loop whose kernel recomputed the primal per
-        # parameter (VERDICT r4 residual #2). VSM_LIN_JVP=1 restores the
-        # jvp loop (measurement baseline).
+        # parameter (VERDICT r4 residual #2). The forward fields come
+        # from the same call. VSM_LIN_JVP=1 restores the jvp loop
+        # (measurement baseline).
         from ..ops.fused_lin import rt_solve_multitangent
         mt = jax.jit(rt_solve_multitangent,
                      static_argnames=("config", "mt_chunk"))
-        R2, T2, dR, dT = mt(inputs, tangents_j, config)
+        R, T, dR, dT = mt(inputs, tangents_j, config,
+                          mt_chunk=int(os.environ.get("VSM_MT_CHUNK",
+                                                      "4")))
         dR, dT = np.asarray(dR), np.asarray(dT)
     elif config.fused:
+        (R, T) = fn(inputs)
         # Per-parameter dispatch of one compiled jvp (thermal scenes: the
         # multitangent kernel is K=1-only). The vmapped all-parameter
         # form OOMs HBM at production widths (25.5 G measured at
@@ -318,6 +321,7 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         dR = jnp.stack([o[0] for o in outs])
         dT = jnp.stack([o[1] for o in outs])
     else:
+        (R, T) = fn(inputs)
         dR, dT = jax.vmap(lambda d: jax.jvp(fn, (inputs,), (d,))[1])(
             tan_stack)
     R, T = np.asarray(R), np.asarray(T)

@@ -171,20 +171,25 @@ def _roll_stack(arrays, shifts, axis):
     return tuple(outs)
 
 
-def ie_ladder_resolution(ndoubl, ns_sched):
-    """ie-specific (ndoubl, ns_sched): the ie field is a ~1% additive
-    correction gated at ~5e-3 of its own scale (PERF.md), i.e. its
-    slab-resolution requirement is ~100x looser than the elastic field's
-    dtau_max rule. Two doublings fewer (4x coarser elemental slab,
-    O(dtau^2) elemental error still ~1e-4 of the ie field) buys back 40%
-    of the block-kernel ladder; the NS schedule keeps the LAST entries of
-    the elastic scene-probed schedule (step k of the short ladder has the
-    spectral radius of elastic step k + dropped). Parity is enforced by
-    tests/test_fused_rrs.py and the bench gate, both of which compare
-    against the full-resolution XLA path."""
+def ie_ladder_resolution(ndoubl, ns_sched, ns_inter=6):
+    """ie-specific (ndoubl, ns_sched, ns_inter): the ie field is a ~1%
+    additive correction gated at ~5e-3 of its own scale (PERF.md), i.e.
+    its resolution/convergence requirements are ~100x looser than the
+    elastic field's. Three levers, all parity-gated against the
+    full-resolution XLA path (tests/test_fused_rrs.py + the bench gate):
+
+    * two doublings fewer (4x coarser elemental slab; O(dtau^2) elemental
+      error still ~1e-4 of the ie field) — 40% of the ladder back;
+    * the NS schedule keeps the LAST entries of the elastic scene-probed
+      schedule (step k of the short ladder has the spectral radius of
+      elastic step k + dropped) MINUS one iteration each (error goes from
+      ~tol to ~sqrt(tol) = 1e-4 at the probe's 1e-8 target);
+    * one interaction NS iteration fewer (same sqrt(tol) argument).
+    """
     ie_nd = max(ndoubl - 2, min(ndoubl, 2))
     sched = _norm_sched(ns_sched, ndoubl)
-    return ie_nd, sched[ndoubl - ie_nd:]
+    sched_ie = tuple(max(k - 1, 0) for k in sched[ndoubl - ie_nd:])
+    return ie_nd, sched_ie, max(ns_inter - 1, 1)
 
 
 def fused_moment_rrs(Z_pp_m, Z_mp_m, Zr_pp_m, Zr_mp_m, tau, scat_w,
