@@ -52,7 +52,7 @@ def main(n_spec=1024):
         import dataclasses
         from vsmartmom_tpu.ops.fused_lin import rt_solve_multitangent
         config = dataclasses.replace(config, band_block=8)
-        chunk = int(os.environ.get("VSM_MT_CHUNK", "4"))
+        chunk = int(os.environ.get("VSM_MT_CHUNK", "2"))
         mt = jax.jit(lambda i, t, c: rt_solve_multitangent(
             i, t, c, mt_chunk=chunk), static_argnames=("c",))
         out = mt(inputs, tangents_j, config)

@@ -192,7 +192,7 @@ def fused_moment_multitangent(ops, dops, geom, qp_mu_N, *, nz, ns_sched,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
-            vmem_limit_bytes=120 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     out = fn(Zbd_pp, Zbd_mp, geom, zflag, tables["wrow"], tables["Em1p"],
@@ -206,7 +206,7 @@ def fused_moment_multitangent(ops, dops, geom, qp_mu_N, *, nz, ns_sched,
     return out[:6], out[6:]
 
 
-def rt_solve_multitangent(inputs, tangents, config, mt_chunk=4):
+def rt_solve_multitangent(inputs, tangents, config, mt_chunk=2):
     """Forward solve + P parameter tangents with the primal ladder run
     ONCE per chunk of mt_chunk tangents (vs once per parameter with the
     jvp path). Fused/K=1 configurations; every Fourier moment runs the
@@ -310,10 +310,14 @@ def rt_solve_multitangent(inputs, tangents, config, mt_chunk=4):
                     d.scat_w.astype(dtype) * fw, dEm1, dEm10, datt, dek,
                     d.F0.astype(dtype)))
 
+            # block 4: the mt kernel's windows carry (1 + P) copies of
+            # every in/out block double-buffered — block 8 at P = 2
+            # measured 153M of the chip's 128M VMEM; 4 fits.
             comp6, dcomp = fused_moment_multitangent(
                 ops, dops, geom, qp_mu_N, nz=nz, ns_sched=sched,
                 ns_inter=config.ns_inter, ndoubl=config.ndoubl,
-                block=config.band_block, dot_mode=config.dot_mode)
+                block=min(config.band_block, 4),
+                dot_mode=config.dot_mode)
 
             def tail(c6, sr, sj, ss, F0_, tboa, sif_):
                 comp = CompositeLayer(*c6[:4], c6[4][..., None],
