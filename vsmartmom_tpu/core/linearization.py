@@ -305,10 +305,28 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         from ..ops.fused_lin import rt_solve_multitangent
         mt = jax.jit(rt_solve_multitangent,
                      static_argnames=("config", "mt_chunk"))
-        R, T, dR, dT = mt(inputs, tangents_j, config,
-                          mt_chunk=int(os.environ.get("VSM_MT_CHUNK",
-                                                      "4")))
-        dR, dT = np.asarray(dR), np.asarray(dT)
+        try:
+            R, T, dR, dT = mt(inputs, tangents_j, config,
+                              mt_chunk=int(os.environ.get("VSM_MT_CHUNK",
+                                                          "2")))
+            dR, dT = np.asarray(dR), np.asarray(dT)
+        except Exception as e:                       # noqa: BLE001
+            # The multitangent kernel is VMEM-hungry (1 + P ladder
+            # chains resident); if this scene/toolchain cannot compile
+            # it, degrade to the per-parameter jvp loop rather than
+            # failing the Jacobian run.
+            import warnings
+            warnings.warn("multitangent kernel unavailable "
+                          f"({type(e).__name__}: {str(e)[:200]}); "
+                          "falling back to the per-parameter jvp path")
+            R = dR = dT = None
+        if dR is None:
+            (R, T) = fn(inputs)
+            g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])
+            outs = [g(jax.tree_util.tree_map(lambda a: a[i], tan_stack))
+                    for i in range(len(tangents_j))]
+            dR = jnp.stack([o[0] for o in outs])
+            dT = jnp.stack([o[1] for o in outs])
     elif config.fused:
         (R, T) = fn(inputs)
         # Per-parameter dispatch of one compiled jvp (thermal scenes: the

@@ -135,15 +135,30 @@ def _moment_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
 
 def _moment_body(Zpp, Zmp, wrow, Em1, dt, jp, jms, ekr,
                  Rmp_c, Rpm_c, Tpp_c, Tmm_c, Jp_c, Jm_c,
-                 *, geom, ns_sched, ns_inter, dot_mode):
+                 *, geom, ns_sched, ns_inter, dot_mode,
+                 remat_assembly=False):
     """Pure per-(block, layer) step on ARRAYS (no refs): elemental
     assembly + doubling ladder + adding. Shared by the elastic kernel and
     the multitangent kernel (ops/fused_lin.py), whose jax.linearize
     replays P tangents against ONE primal trace of this function — the
     linearize-split the reference hand-writes as its ap_* all-parameter
-    kernels (elemental_lin.jl:456-602, doubling_lin.jl:79-475)."""
+    kernels (elemental_lin.jl:456-602, doubling_lin.jl:79-475).
+
+    remat_assembly: rematerialize the elemental assembly in tangent
+    replays (jax.checkpoint) — its ~30 (bb, Np, Np) intermediates would
+    otherwise all be linearize residuals pinned in VMEM across every
+    tangent chain; recomputing them is cheap VPU work."""
     # ---- elemental assembly (core/kernels.elemental algebra, in VMEM) ----
-    r_mp, t_pp, _ = _assemble_elemental(Zpp, Zmp, geom, wrow, Em1, dt)
+    if remat_assembly:
+        import jax as _jax
+
+        def _asm(Zpp_, Zmp_, wrow_, Em1_, dt_):
+            r, t, _ = _assemble_elemental(Zpp_, Zmp_, geom, wrow_, Em1_,
+                                          dt_)
+            return r, t
+        r_mp, t_pp = _jax.checkpoint(_asm)(Zpp, Zmp, wrow, Em1, dt)
+    else:
+        r_mp, t_pp, _ = _assemble_elemental(Zpp, Zmp, geom, wrow, Em1, dt)
 
     r_star = r_mp * geom[_DI][None]
 

@@ -59,6 +59,10 @@ def _mt_kernel(Zpp_ref, Zmp_ref, geom_ref, zflag_ref, wrow_ref, Em1_ref,
     Jp_c = jnp.where(first, zero_v, Jp_o[:][..., None])
     Jm_c = jnp.where(first, zero_v, Jm_o[:][..., None])
 
+    # remat_assembly stays OFF: jax.checkpoint inside the kernel body
+    # trips an MLIR lowering-cache KeyError on this jax version (the
+    # closed_call wrapping of the rematerialized kron); VMEM is held by
+    # the 100M scoped limit instead.
     body = partial(_moment_body, geom=geom_ref[:], ns_sched=ns_sched,
                    ns_inter=ns_inter, dot_mode=dot_mode)
     prim = (Zpp_ref[:], Zmp_ref[:], wrow_ref[0], Em1_ref[0], dt_ref[0],
@@ -310,13 +314,14 @@ def rt_solve_multitangent(inputs, tangents, config, mt_chunk=2):
                     d.scat_w.astype(dtype) * fw, dEm1, dEm10, datt, dek,
                     d.F0.astype(dtype)))
 
-            # block 4: the mt kernel's windows carry (1 + P) copies of
-            # every in/out block double-buffered — block 8 at P = 2
-            # measured 153M of the chip's 128M VMEM; 4 fits.
+            # block 8 is the Mosaic floor (the sublane rule requires the
+            # second-to-last block dim to be a multiple of 8); VMEM
+            # pressure is held down instead by the 100M scoped limit and
+            # the rematerialized elemental assembly (see _mt_kernel).
             comp6, dcomp = fused_moment_multitangent(
                 ops, dops, geom, qp_mu_N, nz=nz, ns_sched=sched,
                 ns_inter=config.ns_inter, ndoubl=config.ndoubl,
-                block=min(config.band_block, 4),
+                block=min(config.band_block, 8),
                 dot_mode=config.dot_mode)
 
             def tail(c6, sr, sj, ss, F0_, tboa, sif_):
