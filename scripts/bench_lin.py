@@ -43,24 +43,39 @@ def main(n_spec=1024):
         lambda *ts: jnp.stack([jnp.asarray(t) for t in ts]), *tangents_j)
 
     import os
+    from vsmartmom_tpu.ops import fused_lin
     use_mt = config.fused and config.n_sources == 1 \
-        and not os.environ.get("VSM_LIN_JVP")
+        and not os.environ.get("VSM_LIN_JVP") and not fused_lin.MT_BROKEN
     if use_mt:
         # Multitangent linearize-split kernel: primal ladder once per
         # chunk, all tangents replayed against its residuals
-        # (ops/fused_lin.py; VERDICT r4 item 3).
+        # (ops/fused_lin.py; VERDICT r4 item 3). Guarded: this tunnel's
+        # remote-compile helper crashes on the MT kernel (subprocess
+        # exit 1 after ~12 min) — on failure, fall through to timing the
+        # per-parameter jvp loop instead of dying.
         import dataclasses
         from vsmartmom_tpu.ops.fused_lin import rt_solve_multitangent
-        config = dataclasses.replace(config, band_block=8)
+        # The MT kernel's in-kernel dot mode defaults to "highest"
+        # (fused_lin._mt_dot_mode — compile-size rationale there);
+        # VSM_MT_DOT overrides.
+        config_mt = dataclasses.replace(config, band_block=8)
         chunk = int(os.environ.get("VSM_MT_CHUNK", "2"))
         mt = jax.jit(lambda i, t, c: rt_solve_multitangent(
             i, t, c, mt_chunk=chunk), static_argnames=("c",))
-        out = mt(inputs, tangents_j, config)
-        jax.block_until_ready(out)
+        try:
+            out = mt(inputs, tangents_j, config_mt)
+            jax.block_until_ready(out)
+        except Exception as e:                     # noqa: BLE001
+            print(f"multitangent kernel unavailable on this toolchain "
+                  f"({type(e).__name__}); timing the per-parameter jvp "
+                  f"loop instead", flush=True)
+            fused_lin.MT_BROKEN = True
+            use_mt = False
+    if use_mt:
         reps = 5
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = mt(inputs, tangents_j, config)
+            out = mt(inputs, tangents_j, config_mt)
         _ = np.asarray(out[2])
         dt = (time.perf_counter() - t0) / reps
         label = "multitangent"

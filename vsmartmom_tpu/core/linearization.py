@@ -214,7 +214,25 @@ def _aerosol_tangents(model, i_band, i_aer, fd_rel=1e-3,
 
 def build_tangent_inputs(model, i_band, layout: ParameterLayout,
                          fd_rel=1e-3):
-    """List of SolverInputs tangents, one per layout parameter."""
+    """List of SolverInputs tangents, one per layout parameter.
+
+    Memoized per (model, band, layout, fd_rel): the aerosol tangents run
+    a host-side f64 linearized Mie (NAI-2 jacfwd, ~minutes at production
+    nquad_radius), and callers legitimately need the same stack twice
+    (rt_run_lin internally + a bench's solver-only section)."""
+    key = (i_band, layout.names(), fd_rel)
+    cache = getattr(model, "_tangent_cache", None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    out = _build_tangent_inputs(model, i_band, layout, fd_rel)
+    try:
+        model._tangent_cache = (key, out)
+    except AttributeError:     # slotted/frozen model containers
+        pass
+    return out
+
+
+def _build_tangent_inputs(model, i_band, layout, fd_rel):
     band = model.bands[i_band]
     inputs, config = model.build_band(i_band)
     zero = _zero_like_inputs(inputs)
@@ -302,24 +320,31 @@ def rt_run_lin(model, i_band: int = 0, layout: ParameterLayout = None,
         # parameter (VERDICT r4 residual #2). The forward fields come
         # from the same call. VSM_LIN_JVP=1 restores the jvp loop
         # (measurement baseline).
+        from ..ops import fused_lin
         from ..ops.fused_lin import rt_solve_multitangent
         mt = jax.jit(rt_solve_multitangent,
                      static_argnames=("config", "mt_chunk"))
-        try:
-            R, T, dR, dT = mt(inputs, tangents_j, config,
-                              mt_chunk=int(os.environ.get("VSM_MT_CHUNK",
-                                                          "2")))
-            dR, dT = np.asarray(dR), np.asarray(dT)
-        except Exception as e:                       # noqa: BLE001
-            # The multitangent kernel is VMEM-hungry (1 + P ladder
-            # chains resident); if this scene/toolchain cannot compile
-            # it, degrade to the per-parameter jvp loop rather than
-            # failing the Jacobian run.
-            import warnings
-            warnings.warn("multitangent kernel unavailable "
-                          f"({type(e).__name__}: {str(e)[:200]}); "
-                          "falling back to the per-parameter jvp path")
+        if fused_lin.MT_BROKEN:
             R = dR = dT = None
+        else:
+            try:
+                R, T, dR, dT = mt(inputs, tangents_j, config,
+                                  mt_chunk=int(os.environ.get(
+                                      "VSM_MT_CHUNK", "2")))
+                dR, dT = np.asarray(dR), np.asarray(dT)
+            except Exception as e:                   # noqa: BLE001
+                # The multitangent kernel is VMEM-hungry (1 + P ladder
+                # chains resident); if this scene/toolchain cannot
+                # compile it, degrade to the per-parameter jvp loop
+                # rather than failing the Jacobian run — and remember
+                # the failure so this process never re-pays the failed
+                # compile.
+                import warnings
+                warnings.warn("multitangent kernel unavailable "
+                              f"({type(e).__name__}: {str(e)[:200]}); "
+                              "falling back to the per-parameter jvp path")
+                fused_lin.MT_BROKEN = True
+                R = dR = dT = None
         if dR is None:
             (R, T) = fn(inputs)
             g = jax.jit(lambda d: jax.jvp(fn, (inputs,), (d,))[1])

@@ -33,6 +33,29 @@ from jax.experimental.pallas import tpu as pltpu
 from .fused_band import _geom_tables, _moment_body, band_operands
 from .fused_rt import _norm_sched
 
+#: Set to True the first time the MT kernel fails to compile in this
+#: process (some toolchains' remote-compile helper crashes on the kernel
+#: after ~12 min) so later callers skip straight to the jvp fallback
+#: instead of re-paying the failed compile (bench.py runs rt_run_lin and
+#: the lin bench in one process).
+MT_BROKEN = False
+
+
+def _mt_dot_mode(config_mode: str) -> str:
+    """In-kernel dot mode for the MT kernel: default "highest".
+
+    split3d emits splits + 3 dot ops PER PRODUCT into the unrolled Mosaic
+    program; with a primal + mt_chunk tangent chains the program text is
+    ~4x the forward kernel's and this tunnel's remote-compile helper
+    crashes on it (subprocess exit 1). One precision="highest" dot op per
+    product keeps the program a third the size (Mosaic expands the 6
+    bf16 passes internally, not in the program), is BIT-exact (tighter
+    than split3d), and measured only ~1.2x slower per dot (PERF.md
+    round-4 precision table) — the MT restructure's ~(1+P)/2P win
+    dominates. VSM_MT_DOT overrides (e.g. back to the config mode)."""
+    import os
+    return os.environ.get("VSM_MT_DOT", "highest") or config_mode
+
 _I0 = np.int32(0)
 
 
@@ -322,7 +345,7 @@ def rt_solve_multitangent(inputs, tangents, config, mt_chunk=2):
                 ops, dops, geom, qp_mu_N, nz=nz, ns_sched=sched,
                 ns_inter=config.ns_inter, ndoubl=config.ndoubl,
                 block=min(config.band_block, 8),
-                dot_mode=config.dot_mode)
+                dot_mode=_mt_dot_mode(config.dot_mode))
 
             def tail(c6, sr, sj, ss, F0_, tboa, sif_):
                 comp = CompositeLayer(*c6[:4], c6[4][..., None],
